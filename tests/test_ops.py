@@ -1,0 +1,195 @@
+"""Tests for class compression, CC labeling, aggregation, matching."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.ndimage
+
+from fastposecnn_tpu.ops.aggregation import aggregate_instances
+from fastposecnn_tpu.ops.class_compress import class_compress
+from fastposecnn_tpu.ops.connected_components import (
+    extract_instances,
+    label_components,
+)
+from fastposecnn_tpu.ops.matching import (
+    gather_matched,
+    mask_iou_matrix,
+    match_instances,
+)
+
+
+def make_logits(rng, b=2, h=16, w=16, c=4):
+    return {
+        "mask": jnp.asarray(rng.normal(size=(b, h, w, c)), jnp.float32),
+        "quaternion": jnp.asarray(rng.normal(size=(b, h, w, c - 1, 4)), jnp.float32),
+        "xy": jnp.asarray(rng.normal(size=(b, h, w, c - 1, 2)), jnp.float32),
+        "z": jnp.asarray(rng.normal(size=(b, h, w, c - 1)), jnp.float32),
+        "scales": jnp.asarray(rng.normal(size=(b, h, w, c - 1, 3)), jnp.float32),
+    }
+
+
+class TestClassCompress:
+    def test_selects_argmax_class_group(self, rng):
+        logits = make_logits(rng)
+        out = class_compress(logits)
+        mask = np.asarray(out["mask"])
+        np.testing.assert_array_equal(
+            mask, np.argmax(np.asarray(logits["mask"]), axis=-1)
+        )
+        # Check one foreground pixel by hand
+        b, y, x = np.argwhere(mask > 0)[0]
+        cls = mask[b, y, x]
+        z_expect = np.asarray(logits["z"])[b, y, x, cls - 1]
+        np.testing.assert_allclose(np.asarray(out["z"])[b, y, x], z_expect, rtol=1e-6)
+        q_raw = np.asarray(logits["quaternion"])[b, y, x, cls - 1]
+        q_expect = q_raw / np.linalg.norm(q_raw)
+        np.testing.assert_allclose(
+            np.asarray(out["quaternion"])[b, y, x], q_expect, rtol=1e-5
+        )
+
+    def test_background_zeroed_and_normalized(self, rng):
+        logits = make_logits(rng)
+        out = class_compress(logits)
+        bg = np.asarray(out["mask"]) == 0
+        assert np.all(np.asarray(out["z"])[bg] == 0)
+        assert np.all(np.asarray(out["quaternion"])[bg] == 0)
+        fg = ~bg
+        norms = np.linalg.norm(np.asarray(out["xy"]), axis=-1)[fg]
+        np.testing.assert_allclose(norms, 1.0, atol=1e-5)
+
+
+class TestConnectedComponents:
+    def _scipy_labels(self, fg):
+        lbl, n = scipy.ndimage.label(fg)  # default = 4-connectivity in 2D
+        return lbl, n
+
+    def test_matches_scipy_structure(self, rng):
+        fg = rng.random((3, 32, 32)) > 0.6
+        ours = np.asarray(label_components(jnp.asarray(fg)))
+        for b in range(3):
+            ref, n = self._scipy_labels(fg[b])
+            # Same partition: component id maps must be bijective.
+            pairs = set(zip(ours[b][fg[b]].tolist(), ref[fg[b]].tolist()))
+            assert len(pairs) == n
+            assert len({p[0] for p in pairs}) == n
+            assert len({p[1] for p in pairs}) == n
+
+    def test_ordering_matches_scipy(self, rng):
+        fg = rng.random((1, 24, 24)) > 0.55
+        labels = label_components(jnp.asarray(fg))
+        masks, valid = extract_instances(labels, max_instances=64)
+        masks, valid = np.asarray(masks[0]), np.asarray(valid[0])
+        ref, n = self._scipy_labels(fg[0])
+        assert valid.sum() == n
+        for k in range(n):
+            ref_mask = ref == (k + 1)
+            np.testing.assert_array_equal(masks[k] > 0, ref_mask)
+
+    def test_snake_component(self):
+        # A serpentine path exercises propagation depth.
+        fg = np.zeros((1, 16, 16), bool)
+        fg[0, ::2, :] = True
+        for i in range(0, 16, 4):
+            fg[0, i + 1, -1] = True
+        for i in range(2, 16, 4):
+            fg[0, i + 1, 0] = True
+        ours = np.asarray(label_components(jnp.asarray(fg)))[0]
+        ref, n = self._scipy_labels(fg[0])
+        assert len(np.unique(ours[fg[0]])) == n
+
+    def test_empty_and_full(self):
+        fg = np.zeros((2, 8, 8), bool)
+        fg[1] = True
+        labels = label_components(jnp.asarray(fg))
+        masks, valid = extract_instances(labels, max_instances=4)
+        assert np.asarray(valid[0]).sum() == 0
+        assert np.asarray(valid[1]).sum() == 1
+        np.testing.assert_array_equal(np.asarray(masks[1][0]), np.ones((8, 8)))
+
+    def test_cap_keeps_largest(self):
+        fg = np.zeros((1, 8, 32), bool)
+        fg[0, 0, 0:2] = True  # area 2
+        fg[0, 2, 0:5] = True  # area 5
+        fg[0, 4, 0:9] = True  # area 9
+        labels = label_components(jnp.asarray(fg))
+        masks, valid = extract_instances(labels, max_instances=2)
+        areas = np.asarray(masks[0]).sum(axis=(1, 2))
+        assert np.asarray(valid[0]).tolist() == [True, True]
+        assert sorted(areas.tolist()) == [5.0, 9.0]
+
+
+class TestAggregation:
+    def test_per_instance_means(self, rng):
+        b, h, w, c = 1, 16, 16, 3
+        cat_mask = np.zeros((b, h, w), np.int32)
+        cat_mask[0, 2:6, 2:6] = 1
+        cat_mask[0, 10:14, 9:15] = 2
+        quat = rng.normal(size=(b, h, w, 4)).astype(np.float32)
+        scales = rng.normal(size=(b, h, w, 3)).astype(np.float32)
+        z = rng.normal(size=(b, h, w)).astype(np.float32)
+        cat = {
+            "mask": jnp.asarray(cat_mask),
+            "quaternion": jnp.asarray(quat),
+            "scales": jnp.asarray(scales),
+            "z": jnp.asarray(z),
+            "xy": jnp.asarray(rng.normal(size=(b, h, w, 2)).astype(np.float32)),
+        }
+        agg = aggregate_instances(cat, max_instances=4)
+        valid = np.asarray(agg["valid"][0])
+        assert valid.tolist() == [True, True, False, False]
+        np.testing.assert_array_equal(np.asarray(agg["class_ids"][0]), [1, 2, 0, 0])
+        m1 = cat_mask[0] == 1
+        np.testing.assert_allclose(
+            np.asarray(agg["scales"][0, 0]), scales[0][m1].mean(axis=0), rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(agg["z"][0, 0]), np.exp(z[0][m1].mean()), rtol=1e-5
+        )
+        q_mean = quat[0][m1].mean(axis=0)
+        np.testing.assert_allclose(
+            np.asarray(agg["quaternion"][0, 0]),
+            q_mean / np.linalg.norm(q_mean),
+            rtol=1e-5,
+        )
+
+
+class TestMatching:
+    def _mk(self, masks, classes, valid):
+        masks = jnp.asarray(np.asarray(masks, np.float32))
+        return {
+            "instance_masks": masks,
+            "class_ids": jnp.asarray(classes, jnp.int32),
+            "valid": jnp.asarray(valid, bool),
+        }
+
+    def test_iou_matrix(self):
+        g = np.zeros((1, 1, 4, 4)); g[0, 0, :2, :2] = 1
+        p = np.zeros((1, 2, 4, 4)); p[0, 0, :2, :2] = 1; p[0, 1, 1:3, 1:3] = 1
+        iou = np.asarray(mask_iou_matrix(jnp.asarray(g, jnp.float32), jnp.asarray(p, jnp.float32)))
+        np.testing.assert_allclose(iou[0, 0], [1.0, 1 / 7], rtol=1e-6)
+
+    def test_class_and_validity_gating(self):
+        g = np.zeros((1, 2, 4, 4)); g[0, 0, :2, :2] = 1; g[0, 1, 2:, 2:] = 1
+        p = np.zeros((1, 2, 4, 4)); p[0, 0, :2, :2] = 1; p[0, 1, 2:, 2:] = 1
+        gts = self._mk(g, [[1, 2]], [[True, True]])
+        # Pred 0 has wrong class; pred 1 matches gt 1.
+        preds = self._mk(p, [[2, 2]], [[True, True]])
+        m = match_instances(preds, gts)
+        valid = np.asarray(m["valid"][0])
+        assert valid.tolist() == [False, True]
+        assert int(m["pred_idx"][0, 1]) == 1
+
+    def test_gather_matched(self):
+        g = np.zeros((1, 1, 4, 4)); g[0, 0, :2, :2] = 1
+        p = np.zeros((1, 2, 4, 4)); p[0, 1, :2, :2] = 1
+        gts = self._mk(g, [[3]], [[True]])
+        gts["quaternion"] = jnp.asarray([[[0.0, 0, 0, 1]]])
+        gts["symmetric_ids"] = jnp.asarray([[1]], jnp.int32)
+        preds = self._mk(p, [[3, 3]], [[True, True]])
+        preds["quaternion"] = jnp.asarray([[[1.0, 0, 0, 0], [0.0, 1, 0, 0]]])
+        m = match_instances(preds, gts)
+        out = gather_matched(preds, gts, m, keys=("quaternion",))
+        assert bool(out["valid"][0, 0])
+        np.testing.assert_array_equal(
+            np.asarray(out["pred_quaternion"][0, 0]), [0, 1, 0, 0]
+        )
