@@ -1,0 +1,267 @@
+"""Hyperparameter presets + CLI reflection.
+
+Parity: FPC/config.py (class-inheritance argparse.Namespace presets:
+DEFAULT_POSE_HPARAM / MASK_TRAINING / HEAD_TRAINING / EVALUATING / INFERENCE)
+and the auto-generated --FLAG overrides (FPC/train.py:102-112). Here presets
+are dataclass factories and `add_cli_overrides`/`parse_overrides` reflect
+every field into argparse with types inferred from defaults, exactly like
+the reference's loop.
+
+Checkpoint merge semantics (`merge_from_checkpoint`) mirror
+FPC/lib/pose_regressor.py:516-522: architecture-defining fields travel with
+the weights; everything else comes from the active preset/CLI.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import pathlib
+from typing import Optional, Tuple
+
+# Architecture-defining fields restored from a checkpoint
+# (FPC/lib/pose_regressor.py:521).
+ARCH_FIELDS = (
+    "MODEL",
+    "BACKBONE_ARCH",
+    "ENCODER",
+    "ENCODER_WEIGHTS",
+    "SELECTED_CLASSES",
+)
+
+
+@dataclasses.dataclass
+class HParams:
+    # Experiment identification (FPC/config.py:13-17)
+    EXPERIMENT_NAME: str = "TESTING"
+    DEBUG: bool = False
+    DETERMINISTIC: bool = False
+    RUNTIME_TIMING: bool = False
+
+    CHECKPOINT: Optional[str] = None
+
+    # Model specification (FPC/config.py:26-31)
+    MODEL: str = "PoseRegressor"
+    DATASET_NAME: str = "CAMERA"
+    SELECTED_CLASSES: Tuple[str, ...] = (
+        "bg", "bottle", "bowl", "camera", "can", "laptop", "mug",
+    )
+    CKPT_SAVE_FREQUENCY: int = 2
+
+    # Run specification (FPC/config.py:33-41)
+    BATCH_SIZE: int = 3
+    NUM_WORKERS: int = 4
+    NUM_DEVICES: int = 1  # replaces NUM_GPUS; devices in the jax mesh
+    TRAIN_SIZE: Optional[int] = 100
+    VALID_SIZE: Optional[int] = 20
+
+    # Optimization (FPC/config.py:55-60)
+    WEIGHT_DECAY: float = 0.0003
+    LEARNING_RATE: float = 0.0001 / 10
+    ENCODER_LEARNING_RATE: float = 0.00005 / 10
+    NUM_EPOCHS: int = 50
+    GRADIENT_CLIP_VAL: float = 0.15  # FPC/train.py:326
+
+    # Loss weights (FPC/config.py:62-70 + train.py:159-188)
+    MASK_WEIGHT: float = 5.0
+    QUAT_WEIGHT: float = 0.1
+    XY_WEIGHT: float = 0.01
+    Z_WEIGHT: float = 0.1
+    SCALES_WEIGHT: float = 0.1
+    XYLOSS_TYPE: str = "L1"
+    ZLOSS_TYPE: str = "L1"
+    SCALESLOSS_TYPE: str = "L1"
+
+    # Freezing (FPC/config.py:72-77)
+    FREEZE_ENCODER: bool = False
+    FREEZE_MASK_TRAINING: bool = False
+    FREEZE_ROTATION_TRAINING: bool = False
+    FREEZE_TRANSLATION_TRAINING: bool = False
+    FREEZE_SCALES_TRAINING: bool = False
+
+    # Algorithmic stage gates (FPC/config.py:79-83)
+    PERFORM_AGGREGATION: bool = True
+    PERFORM_HOUGH_VOTING: bool = True
+    PERFORM_RT_CALCULATION: bool = True
+    PERFORM_MATCHING: bool = True
+
+    # Architecture (FPC/config.py:85-88)
+    BACKBONE_ARCH: str = "FPN"
+    ENCODER: str = "resnet18"
+    ENCODER_WEIGHTS: Optional[str] = "imagenet"
+
+    # Hough voting (FPC/config.py:90-105)
+    HV_NUM_OF_HYPOTHESES: int = 128
+    HV_HYPOTHESIS_IN_MASK_MULTIPLIER: int = 3
+    PRUN_METHOD: str = "iqr"
+    PRUN_OUTLIER_DROP: bool = False
+    PRUN_OUTLIER_REPLACEMENT_STYLE: str = "median"
+    PRUN_ZSCORE_THRESHOLD: float = 1.0
+    IQR_MULTIPLIER: float = 1.5
+
+    # TPU-specific static-shape knobs (no reference equivalent: the CUDA
+    # build had dynamic shapes; SURVEY.md §7 'static shapes everywhere')
+    MAX_INSTANCES: int = 16
+    MAX_VOTE_POINTS: int = 1024
+    IMAGE_HEIGHT: int = 480
+    IMAGE_WIDTH: int = 640
+    COMPUTE_DTYPE: str = "bfloat16"  # network compute; params stay f32
+
+    @property
+    def num_classes(self) -> int:
+        return len(self.SELECTED_CLASSES)
+
+    def to_json(self) -> str:
+        d = dataclasses.asdict(self)
+        d["SELECTED_CLASSES"] = list(self.SELECTED_CLASSES)
+        return json.dumps(d, indent=2)
+
+    @classmethod
+    def from_json(cls, text: str) -> "HParams":
+        d = json.loads(text)
+        d["SELECTED_CLASSES"] = tuple(d["SELECTED_CLASSES"])
+        known = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in known})
+
+    def save(self, path) -> None:
+        pathlib.Path(path).write_text(self.to_json())
+
+    @classmethod
+    def load(cls, path) -> "HParams":
+        return cls.from_json(pathlib.Path(path).read_text())
+
+
+# -----------------------------------------------------------------------------
+# Presets (FPC/config.py:107-160)
+
+
+def default_pose_hparam(**overrides) -> HParams:
+    return dataclasses.replace(HParams(), **overrides)
+
+
+def mask_training(**overrides) -> HParams:
+    """Stage-1 preset: mask only, heads frozen, no instance machinery
+    (FPC/config.py:108-119)."""
+    base = dict(
+        FREEZE_ENCODER=False,
+        FREEZE_MASK_TRAINING=False,
+        FREEZE_ROTATION_TRAINING=True,
+        FREEZE_TRANSLATION_TRAINING=True,
+        FREEZE_SCALES_TRAINING=True,
+        PERFORM_AGGREGATION=False,
+        PERFORM_HOUGH_VOTING=False,
+        PERFORM_RT_CALCULATION=False,
+        PERFORM_MATCHING=False,
+    )
+    base.update(overrides)
+    return dataclasses.replace(HParams(), **base)
+
+
+def head_training(**overrides) -> HParams:
+    """Stage-2 preset: everything on (FPC/config.py:121-132)."""
+    base = dict(
+        PERFORM_AGGREGATION=True,
+        PERFORM_HOUGH_VOTING=True,
+        PERFORM_RT_CALCULATION=True,
+        PERFORM_MATCHING=True,
+    )
+    base.update(overrides)
+    return dataclasses.replace(HParams(), **base)
+
+
+def evaluating(**overrides) -> HParams:
+    """Evaluation preset (FPC/config.py:135-144)."""
+    base = dict(
+        TRAIN_SIZE=1,
+        VALID_SIZE=10_000,
+        HV_NUM_OF_HYPOTHESES=1000,
+        PERFORM_AGGREGATION=True,
+        PERFORM_HOUGH_VOTING=True,
+        PERFORM_RT_CALCULATION=True,
+        PERFORM_MATCHING=True,
+    )
+    base.update(overrides)
+    return dataclasses.replace(HParams(), **base)
+
+
+def inference(**overrides) -> HParams:
+    """Real-time inference preset (FPC/config.py:147-160)."""
+    base = dict(
+        HV_NUM_OF_HYPOTHESES=1000,
+        BATCH_SIZE=1,
+        VALID_SIZE=100,
+        TRAIN_SIZE=1,
+        RUNTIME_TIMING=True,
+        PERFORM_AGGREGATION=True,
+        PERFORM_HOUGH_VOTING=True,
+        PERFORM_RT_CALCULATION=True,
+        PERFORM_MATCHING=True,
+    )
+    base.update(overrides)
+    return dataclasses.replace(HParams(), **base)
+
+
+PRESETS = {
+    "DEFAULT": default_pose_hparam,
+    "MASK_TRAINING": mask_training,
+    "HEAD_TRAINING": head_training,
+    "EVALUATING": evaluating,
+    "INFERENCE": inference,
+}
+
+
+# -----------------------------------------------------------------------------
+# CLI reflection (FPC/train.py:102-112)
+
+
+def add_cli_overrides(parser: argparse.ArgumentParser, hp: HParams) -> None:
+    """Turn every HParams field into a --FIELD flag with inferred type."""
+    for f in dataclasses.fields(hp):
+        default = getattr(hp, f.name)
+        if isinstance(default, bool):
+            parser.add_argument(
+                f"--{f.name}",
+                type=lambda s: s.lower() in ("1", "true", "yes"),
+                default=None,
+            )
+        elif isinstance(default, tuple):
+            parser.add_argument(f"--{f.name}", nargs="+", default=None)
+        elif isinstance(default, int):
+            parser.add_argument(f"--{f.name}", type=int, default=None)
+        elif isinstance(default, float):
+            parser.add_argument(f"--{f.name}", type=float, default=None)
+        else:
+            parser.add_argument(f"--{f.name}", type=str, default=None)
+
+
+def apply_cli_overrides(hp: HParams, args: argparse.Namespace) -> HParams:
+    updates = {}
+    for f in dataclasses.fields(hp):
+        val = getattr(args, f.name, None)
+        if val is not None:
+            if isinstance(getattr(hp, f.name), tuple):
+                val = tuple(val)
+            updates[f.name] = val
+    return dataclasses.replace(hp, **updates)
+
+
+def merge_from_checkpoint(hp: HParams, ckpt_hp: HParams) -> HParams:
+    """Restore only architecture-defining fields from a checkpoint's hparams
+    (FPC/lib/pose_regressor.py:516-522)."""
+    updates = {k: getattr(ckpt_hp, k) for k in ARCH_FIELDS}
+    return dataclasses.replace(hp, **updates)
+
+
+def pipeline_config_from(hp: HParams, use_pallas=None):
+    from fastposecnn_tpu.pipeline import PipelineConfig
+
+    return PipelineConfig(
+        perform_aggregation=hp.PERFORM_AGGREGATION,
+        perform_hough_voting=hp.PERFORM_HOUGH_VOTING,
+        perform_rt_calculation=hp.PERFORM_RT_CALCULATION,
+        max_instances=hp.MAX_INSTANCES,
+        max_points=hp.MAX_VOTE_POINTS,
+        hv_num_hypotheses=hp.HV_NUM_OF_HYPOTHESES,
+        use_pallas=use_pallas,
+    )

@@ -1,0 +1,183 @@
+"""Synthetic NOCS-like scenes with exact ground truth.
+
+Two uses:
+  1. integration tests: build *perfect* network logits from GT and check the
+     whole pipeline (class compress -> CC -> aggregation -> voting -> RT ->
+     matching -> losses/metrics) recovers the scene;
+  2. benchmarking and the synthetic dataset-on-disk fixture
+     (data/nocs_writer.py) when the real NOCS data is unavailable.
+
+GT layout mirrors the reference's per-instance agg_data
+(FPC/tools/dataset.py:373-434): class_ids, symmetric_ids, instance_masks,
+quaternion (xyzw), scales, xy (x, y pixel center), z (mm), T, R, RT — but
+padded to MAX_INSTANCES with a validity mask instead of ragged arrays.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict
+
+import numpy as np
+
+from fastposecnn_tpu import constants
+from fastposecnn_tpu import geometry
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass
+class SceneConfig:
+    height: int = 120
+    width: int = 160
+    num_classes: int = 7  # incl. background
+    max_instances: int = 8
+    min_instances: int = 1
+    max_scene_instances: int = 3
+    z_range: tuple = (600.0, 2500.0)
+    scale_range: tuple = (0.08, 0.4)
+    box_half_extent: tuple = (8, 26)
+    dataset: str = "CAMERA"
+
+
+def _quat_random(rng) -> np.ndarray:
+    q = rng.normal(size=4)
+    return q / np.linalg.norm(q)
+
+
+def generate_scene(rng: np.random.Generator, cfg: SceneConfig) -> Dict[str, np.ndarray]:
+    """Generate one scene. Returns dense GT + padded instance GT."""
+    h, w = cfg.height, cfg.width
+    intr = constants.INTRINSICS[cfg.dataset].copy()
+    # Rescale intrinsics from the native 640x480 to the scene size.
+    intr[0] *= w / constants.IMAGE_WIDTH
+    intr[1] *= h / constants.IMAGE_HEIGHT
+
+    g = cfg.max_instances
+    mask = np.zeros((h, w), np.int32)
+    inst_masks = np.zeros((g, h, w), np.float32)
+    class_ids = np.zeros((g,), np.int32)
+    sym_ids = np.zeros((g,), np.int32)
+    quats = np.zeros((g, 4), np.float32)
+    scales = np.zeros((g, 3), np.float32)
+    xys = np.zeros((g, 2), np.float32)
+    zs = np.zeros((g,), np.float32)
+    valid = np.zeros((g,), bool)
+
+    sym_class_set = set(
+        constants.dataset_spec(cfg.dataset).symmetric_class_ids()
+    )
+
+    n_inst = int(rng.integers(cfg.min_instances, cfg.max_scene_instances + 1))
+    occupied = np.zeros((h, w), bool)
+    placed = 0
+    for _ in range(n_inst * 4):
+        if placed >= n_inst:
+            break
+        hw_half = rng.integers(cfg.box_half_extent[0], cfg.box_half_extent[1], 2)
+        cy = int(rng.integers(hw_half[0] + 1, h - hw_half[0] - 1))
+        cx = int(rng.integers(hw_half[1] + 1, w - hw_half[1] - 1))
+        y0, y1 = cy - hw_half[0], cy + hw_half[0]
+        x0, x1 = cx - hw_half[1], cx + hw_half[1]
+        region = np.zeros((h, w), bool)
+        region[y0:y1, x0:x1] = True
+        if (region & occupied).any():
+            continue
+        occupied |= region
+        cls = int(rng.integers(1, cfg.num_classes))
+        k = placed
+        mask[region] = cls
+        inst_masks[k][region] = 1.0
+        class_ids[k] = cls
+        sym_ids[k] = 1 if cls in sym_class_set else 0
+        quats[k] = _quat_random(rng)
+        scales[k] = rng.uniform(*cfg.scale_range, 3)
+        xys[k] = (cx, cy)
+        zs[k] = rng.uniform(*cfg.z_range)
+        valid[k] = True
+        placed += 1
+
+    # Derive T / R / RT from (quat, xy, z) with the shared geometry code.
+    inv_intr = np.linalg.inv(intr)
+    R, T, RT = geometry.batch_get_RT(
+        jnp.asarray(quats), jnp.asarray(xys), jnp.asarray(zs)[:, None],
+        jnp.asarray(inv_intr),
+    )
+    R, T, RT = (np.array(R), np.array(T), np.array(RT))  # writable copies
+    R[~valid] = 0
+    T[~valid] = 0
+    RT[~valid] = 0
+
+    # Simple render: class-colored boxes + noise.
+    image = rng.normal(0.0, 0.05, size=(h, w, 3)).astype(np.float32)
+    for k in range(g):
+        if valid[k]:
+            color = np.asarray(
+                [0.2 + 0.1 * class_ids[k], 0.9 - 0.1 * class_ids[k], 0.4]
+            )
+            image[inst_masks[k] > 0] += color
+
+    return {
+        "image": image,
+        "mask": mask,
+        "intrinsics": intr,
+        "agg": {
+            "class_ids": class_ids,
+            "symmetric_ids": sym_ids,
+            "instance_masks": inst_masks,
+            "quaternion": quats.astype(np.float32),
+            "scales": scales.astype(np.float32),
+            "xy": xys.astype(np.float32),
+            "z": zs.astype(np.float32),  # [G] scalar depth in mm
+            "T": T.astype(np.float32),
+            "R": R.astype(np.float32),
+            "RT": RT.astype(np.float32),
+            "valid": valid,
+        },
+    }
+
+
+def perfect_logits(scene: Dict[str, np.ndarray], num_classes: int) -> Dict[str, np.ndarray]:
+    """Build idealized network outputs from GT (for pipeline tests).
+
+    mask: +-10 logits of the GT class; quaternion/scales/z: GT value painted
+    into the GT class's channel group; xy: exact unit vectors toward each
+    instance's center.
+    """
+    mask = scene["mask"]
+    agg = scene["agg"]
+    h, w = mask.shape
+    cm1 = num_classes - 1
+
+    mask_logits = np.full((h, w, num_classes), -10.0, np.float32)
+    for c in range(num_classes):
+        mask_logits[..., c][mask == c] = 10.0
+
+    quat = np.zeros((h, w, cm1, 4), np.float32)
+    xy = np.zeros((h, w, cm1, 2), np.float32)
+    z = np.zeros((h, w, cm1), np.float32)
+    scales = np.zeros((h, w, cm1, 3), np.float32)
+
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+    for k in range(agg["valid"].shape[0]):
+        if not agg["valid"][k]:
+            continue
+        m = agg["instance_masks"][k] > 0
+        c = int(agg["class_ids"][k]) - 1
+        quat[m, c, :] = agg["quaternion"][k]
+        scales[m, c, :] = agg["scales"][k]
+        z[m, c] = np.log(agg["z"][k])
+        dx = agg["xy"][k, 0] - xs
+        dy = agg["xy"][k, 1] - ys
+        norm = np.sqrt(dx * dx + dy * dy)
+        norm[norm == 0] = 1.0
+        xy[m, c, 0] = (dx / norm)[m]
+        xy[m, c, 1] = (dy / norm)[m]
+
+    return {
+        "mask": mask_logits[None],
+        "quaternion": quat[None],
+        "xy": xy[None],
+        "z": z[None],
+        "scales": scales[None],
+    }

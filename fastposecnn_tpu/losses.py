@@ -1,0 +1,219 @@
+"""Loss functions, mask-aware and fixed-shape.
+
+Parity: FPC/lib/loss.py. The reference drops NaN losses after the fact
+(loss.py:230-233,278-296 and the `dec_empty_check` decorator, loss.py:
+239-269); here every matched loss consumes a validity mask and returns
+`(value, has_data)` — `value` is a masked mean (0 when empty) and `has_data`
+says whether any instance contributed, which the trainer uses exactly where
+the reference used its NaN checks. No NaNs are ever produced, so no NaN
+scrubbing pass is needed (cf. FPC/lib/pose_regressor.py:99-108).
+
+Matched payloads are the output of `ops.matching.gather_matched`:
+keys `gt_<k>` / `pred_<k>` of shape [B, G, ...] plus `valid` [B, G],
+`symmetric_ids` [B, G].
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from fastposecnn_tpu import geometry
+
+Array = jax.Array
+LossOut = Tuple[Array, Array]  # (scalar loss, has_data flag as float 0/1)
+
+
+def _masked_mean(x: Array, mask: Array) -> LossOut:
+    mask = mask.astype(x.dtype)
+    total = jnp.sum(mask)
+    value = jnp.sum(x * mask) / jnp.maximum(total, 1.0)
+    return value, (total > 0).astype(x.dtype)
+
+
+# -----------------------------------------------------------------------------
+# Pixel-wise mask losses (FPC/lib/loss.py:26-98)
+
+
+def cross_entropy(mask_logits: Array, gt_mask: Array) -> Array:
+    """Mean CE from logits. FPC `CE` and `CCE` are mathematically identical
+    (CrossEntropyLoss == LogSoftmax+NLLLoss); both map here."""
+    logp = jax.nn.log_softmax(mask_logits, axis=-1)
+    picked = jnp.take_along_axis(logp, gt_mask[..., None].astype(jnp.int32), axis=-1)
+    return -jnp.mean(picked)
+
+
+def focal_loss(
+    mask_logits: Array, gt_mask: Array, alpha: float = 0.5, gamma: float = 2.0
+) -> Array:
+    """Focal loss replicating the reference's exact composition.
+
+    FPC `Focal` (loss.py:69-98) feeds *log-softmax outputs* into
+    pytorch_toolbelt's sigmoid-based binary focal, one class at a time:
+      for each class c: x = log_softmax(logits)[c], t = (gt == c)
+        logpt = -BCEWithLogits(x, t); pt = exp(logpt)
+        loss_c = mean( alpha_t * (1 - pt)^gamma * (-logpt) )
+      total = sum_c loss_c
+    We reproduce that computation (including the log-prob-as-logit quirk).
+    """
+    num_classes = mask_logits.shape[-1]
+    logp = jax.nn.log_softmax(mask_logits, axis=-1)  # used as "logits" below
+    onehot = jax.nn.one_hot(gt_mask, num_classes, dtype=logp.dtype)
+    # BCE-with-logits on x=logp, target t: logpt = -(softplus(-x) * t + (softplus(x)) * (1-t))
+    logpt = -(
+        jax.nn.softplus(-logp) * onehot + jax.nn.softplus(logp) * (1 - onehot)
+    )
+    pt = jnp.exp(logpt)
+    alpha_t = alpha * onehot + (1 - alpha) * (1 - onehot)
+    per_class = alpha_t * (1 - pt) ** gamma * (-logpt)
+    # mean over pixels per class, summed over classes
+    return jnp.sum(jnp.mean(per_class, axis=tuple(range(per_class.ndim - 1))))
+
+
+def masked_mse(
+    pred_dense: Array, gt_dense: Array, pred_cat_mask: Array
+) -> LossOut:
+    """Pixel-wise regression MSE masked by the predicted foreground.
+
+    Parity: FPC/lib/loss.py:103-150 (`MaskedMSELoss`): predictions are zeroed
+    outside the predicted mask, then plain MSE against the dense GT. The
+    reference returns NaN when pred/gt masks don't intersect; we return the
+    has-data flag instead.
+    """
+    fg = (pred_cat_mask != 0).astype(pred_dense.dtype)
+    while fg.ndim < pred_dense.ndim:
+        fg = fg[..., None]
+    masked_pred = pred_dense * fg
+    mse = jnp.mean((masked_pred - gt_dense) ** 2)
+    has = (jnp.sum(fg) > 0).astype(pred_dense.dtype)
+    return mse, has
+
+
+# -----------------------------------------------------------------------------
+# Matched losses (FPC/lib/loss.py:272-541)
+
+
+def _elementwise(kind: str, diff_gt: Array, diff_pred: Array) -> Array:
+    d = diff_gt - diff_pred
+    if kind == "L1":
+        return jnp.abs(d)
+    if kind == "L2":
+        return d * d
+    if kind == "SmoothL1":
+        a = jnp.abs(d)
+        return jnp.where(a < 1.0, 0.5 * d * d, a - 0.5)
+    raise NotImplementedError(f"{kind} is an invalid loss function!")
+
+
+def quaternion_loss(
+    matched: Dict[str, Array], eps: float = 0.1, num_steps: int = 360
+) -> LossOut:
+    """Log quaternion loss with y-axis symmetry handling.
+
+    Parity: FPC/lib/loss.py:272-367 (`QLoss`): loss = log(1 - <gt,pred>^2 +
+    eps) - log(eps); symmetric instances take the min over `num_steps`
+    y-rotations of the GT (the loss rotates gt; the metric rotates pred —
+    both quirks preserved from the reference).
+    """
+    gt = matched["gt_quaternion"]
+    pred = matched["pred_quaternion"]
+    valid = matched["valid"]
+    sym = matched["symmetric_ids"] != 0
+
+    def dp_to_loss(dot):
+        err = 1.0 - dot**2
+        return jnp.log(err + eps) - jnp.log(eps)
+
+    plain = dp_to_loss(jnp.sum(gt * pred, axis=-1))
+
+    rot_q = jnp.asarray(
+        geometry._symmetry_rotation_quats(num_steps, str(gt.dtype))
+    )
+    rot_gt = geometry.quat_multiply_wxyz(gt[..., None, :], rot_q)  # [B,G,S,4]
+    sym_dots = jnp.sum(pred[..., None, :] * rot_gt, axis=-1)
+    sym_loss = jnp.min(dp_to_loss(sym_dots), axis=-1)
+
+    loss = jnp.where(sym, sym_loss, plain)
+    return _masked_mean(loss, valid)
+
+
+def xy_loss(matched: Dict[str, Array], kind: str = "L1") -> LossOut:
+    """Per-coordinate loss on the voted 2D center, summed over x and y.
+
+    Parity: FPC/lib/loss.py:431-469 (`XYLoss`): reduction is a mean per
+    coordinate then a sum over coordinates.
+    """
+    gt, pred, valid = matched["gt_xy"], matched["pred_xy"], matched["valid"]
+    per_coord = _elementwise(kind, gt, pred)  # [B, G, 2]
+    m0, has = _masked_mean(per_coord[..., 0], valid)
+    m1, _ = _masked_mean(per_coord[..., 1], valid)
+    return m0 + m1, has
+
+
+def z_loss(matched: Dict[str, Array], kind: str = "L1") -> LossOut:
+    """Log-space depth loss (FPC/lib/loss.py:471-500)."""
+    gt = jnp.log(jnp.maximum(matched["gt_z"], 1e-8))
+    pred = jnp.log(jnp.maximum(matched["pred_z"], 1e-8))
+    return _masked_mean(_elementwise(kind, gt, pred), matched["valid"])
+
+
+def scales_loss(matched: Dict[str, Array], kind: str = "L1") -> LossOut:
+    """Per-dimension scales loss summed over h, w, l (FPC/lib/loss.py:503-541)."""
+    gt, pred, valid = matched["gt_scales"], matched["pred_scales"], matched["valid"]
+    per_dim = _elementwise(kind, gt, pred)
+    total = jnp.zeros(())
+    has = jnp.zeros(())
+    for i in range(per_dim.shape[-1]):
+        m, has = _masked_mean(per_dim[..., i], valid)
+        total = total + m
+    return total, has
+
+
+def rotation_matrix_loss(matched: Dict[str, Array]) -> LossOut:
+    """Geodesic acos-trace loss (FPC/lib/loss.py:369-398 `RLoss`)."""
+    gt, pred, valid = matched["gt_R"], matched["pred_R"], matched["valid"]
+    sim = jnp.einsum("...ji,...jk->...ik", gt, pred)
+    tr = jnp.trace(sim, axis1=-2, axis2=-1)
+    cos = jnp.clip((tr - 1.0) / 2.0, -1.0 + 1e-7, 1.0 - 1e-7)
+    return _masked_mean(jnp.arccos(cos), valid)
+
+
+def translation_loss(matched: Dict[str, Array]) -> LossOut:
+    """||gt_T - pred_T|| mean (FPC/lib/loss.py:401-429 `TLoss`)."""
+    d = jnp.linalg.norm(matched["gt_T"] - matched["pred_T"], axis=-1)
+    return _masked_mean(d, matched["valid"])
+
+
+def iou3d_loss(matched: Dict[str, Array]) -> LossOut:
+    """1 - IoU3D (FPC/lib/loss.py:546-586 `Iou3dLoss`)."""
+    iou = geometry.asymmetric_3d_iou(
+        matched["gt_RT"], matched["pred_RT"],
+        matched["gt_scales"], matched["pred_scales"],
+    )
+    return _masked_mean(1.0 - iou, matched["valid"])
+
+
+def offset_loss(matched: Dict[str, Array]) -> LossOut:
+    """Offset error / 10 from RT-derived world centers (FPC loss.py:588-626)."""
+    gt_c = matched["gt_RT"][..., :3, :3].swapaxes(-1, -2) @ (
+        -matched["gt_RT"][..., :3, 3:]
+    )
+    pred_c = matched["pred_RT"][..., :3, :3].swapaxes(-1, -2) @ (
+        -matched["pred_RT"][..., :3, 3:]
+    )
+    err = jnp.linalg.norm(gt_c[..., 0] - pred_c[..., 0], axis=-1) * 10.0
+    return _masked_mean(err / 10.0, matched["valid"])
+
+
+MATCHED_LOSSES = {
+    "quaternion": quaternion_loss,
+    "xy": xy_loss,
+    "z": z_loss,
+    "scales": scales_loss,
+    "R": rotation_matrix_loss,
+    "T": translation_loss,
+    "iou3d": iou3d_loss,
+    "offset": offset_loss,
+}

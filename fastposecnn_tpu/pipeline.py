@@ -1,0 +1,86 @@
+"""End-to-end forward pipeline: logits -> categorical -> instances -> RT.
+
+Parity: FPC/lib/pose_regressor.py:443-504 + 745-770 (`Model` stage methods
+and `PoseRegressor.forward`). The reference gates stages with runtime flags
+(HPARAM.PERFORM_*, pose_regressor.py:484-504); here the gates are *static*
+fields of `PipelineConfig`, so jit traces exactly the stages requested and
+XLA sees one fused program.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from fastposecnn_tpu import geometry
+from fastposecnn_tpu.ops.aggregation import aggregate_instances
+from fastposecnn_tpu.ops.class_compress import class_compress
+from fastposecnn_tpu.ops.voting import hough_vote
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    """Static (trace-time) configuration of the post-network stages."""
+
+    perform_aggregation: bool = True
+    perform_hough_voting: bool = True
+    perform_rt_calculation: bool = True
+    max_instances: int = 16
+    max_points: int = 1024
+    hv_num_hypotheses: int = 128  # HPARAM.HV_NUM_OF_HYPOTHESES (config.py:93)
+    hv_inlier_thresh: float = 0.999
+    hv_confidence: float = 0.99
+    hv_max_iter: int = 20
+    cc_max_iters: int = 64
+    use_pallas: Optional[bool] = None  # None -> auto (TPU yes, CPU no)
+
+
+def run_pipeline(
+    logits: Dict[str, jax.Array],
+    key: jax.Array,
+    config: PipelineConfig,
+    inv_intrinsics: jax.Array,
+) -> Dict[str, Any]:
+    """Compose the post-network stages.
+
+    Returns {'logits', 'categorical', 'aggregated'} like
+    FPC/lib/pose_regressor.py:763-768 ('aggregated' is None when aggregation
+    is off, e.g. the MASK_TRAINING preset, FPC/config.py:116-119).
+    """
+    categorical = class_compress(logits)
+    aggregated = None
+    if config.perform_aggregation:
+        aggregated = aggregate_instances(
+            categorical,
+            max_instances=config.max_instances,
+            cc_max_iters=config.cc_max_iters,
+        )
+        if config.perform_hough_voting:
+            aggregated = hough_vote(
+                key,
+                aggregated,
+                max_points=config.max_points,
+                round_hyp_num=config.hv_num_hypotheses,
+                inlier_thresh=config.hv_inlier_thresh,
+                confidence=config.hv_confidence,
+                max_iter=config.hv_max_iter,
+                use_pallas=config.use_pallas,
+            )
+            if config.perform_rt_calculation:
+                R, T, RT = geometry.batch_get_RT(
+                    aggregated["quaternion"],
+                    aggregated["xy"],
+                    aggregated["z"][..., None],
+                    inv_intrinsics,
+                )
+                aggregated = dict(
+                    aggregated, R=R, T=T, RT=RT
+                )
+    return {
+        "logits": logits,
+        "categorical": categorical,
+        "aggregated": aggregated,
+    }
