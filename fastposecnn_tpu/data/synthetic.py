@@ -137,6 +137,23 @@ def generate_scene(rng: np.random.Generator, cfg: SceneConfig) -> Dict[str, np.n
     }
 
 
+def make_batch(
+    rng: np.random.Generator, cfg: SceneConfig, batch_size: int
+) -> Dict[str, np.ndarray]:
+    """Stack `batch_size` scenes into the training batch layout:
+    image [B,H,W,3], mask [B,H,W], agg {k: [B,G,...]}."""
+    scenes = [generate_scene(rng, cfg) for _ in range(batch_size)]
+    batch = {
+        "image": np.stack([s["image"] for s in scenes]),
+        "mask": np.stack([s["mask"] for s in scenes]),
+        "agg": {
+            k: np.stack([s["agg"][k] for s in scenes])
+            for k in scenes[0]["agg"]
+        },
+    }
+    return batch
+
+
 def perfect_logits(scene: Dict[str, np.ndarray], num_classes: int) -> Dict[str, np.ndarray]:
     """Build idealized network outputs from GT (for pipeline tests).
 

@@ -1,0 +1,56 @@
+"""Device mesh + sharding helpers: the TPU replacement for DDP.
+
+The reference's only multi-device strategy is PyTorch-Lightning 'ddp'
+(FPC/config.py:60, train.py:316-327) — NCCL allreduce over per-process
+replicas. Here data parallelism is expressed with `jax.sharding`: one global
+jit-compiled step, batch sharded over the 'dp' mesh axis, parameters
+replicated; XLA inserts the gradient all-reduce over ICI automatically. A
+'tp' axis is reserved for tensor-parallel sharding of wide decoder channels
+(unused by the reference model scale, wired for bigger backbones).
+
+Metric reduction across devices (the reference's dist_reduce_fx='sum',
+FPC/lib/metrics.py:19-20) is free here: metric states live in the same
+global program, so sums are already global.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    n_devices: Optional[int] = None, dp: Optional[int] = None, tp: int = 1
+) -> Mesh:
+    """Build a ('dp', 'tp') mesh over the first n_devices devices."""
+    devices = jax.devices()
+    if n_devices is None:
+        n_devices = len(devices)
+    devices = devices[:n_devices]
+    if dp is None:
+        dp = n_devices // tp
+    assert dp * tp == n_devices, (dp, tp, n_devices)
+    arr = np.asarray(devices).reshape(dp, tp)
+    return Mesh(arr, axis_names=("dp", "tp"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P("dp"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Place a host batch with its leading axis split over 'dp'."""
+    sharding = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def replicate(tree, mesh: Mesh):
+    sharding = replicated(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)

@@ -1,0 +1,145 @@
+"""Training-step tests: loss decreases, freezing works, DP sharding runs."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fastposecnn_tpu import config as C
+from fastposecnn_tpu.data.synthetic import SceneConfig, make_batch
+from fastposecnn_tpu.models import PoseRegressorNet
+from fastposecnn_tpu.parallel import make_mesh, replicate, shard_batch
+from fastposecnn_tpu.train import optim
+from fastposecnn_tpu.train.task import (
+    TrainState,
+    create_train_state,
+    make_eval_step,
+    make_train_step,
+)
+import fastposecnn_tpu.metrics as M
+
+
+def tiny_setup(hp=None, h=32, w=32, num_classes=3):
+    hp = hp or C.mask_training()
+    hp = dataclasses.replace(
+        hp,
+        IMAGE_HEIGHT=h,
+        IMAGE_WIDTH=w,
+        SELECTED_CLASSES=("bg", "bottle", "bowl")[:num_classes],
+        MAX_INSTANCES=4,
+        MAX_VOTE_POINTS=128,
+        HV_NUM_OF_HYPOTHESES=32,
+    )
+    net = PoseRegressorNet(num_classes=hp.num_classes)
+    pcfg = C.pipeline_config_from(hp, use_pallas=False)
+    scfg = SceneConfig(
+        height=h, width=w, num_classes=hp.num_classes, max_instances=4,
+        max_scene_instances=2, box_half_extent=(4, 9),
+    )
+    intr = np.eye(3) + 0.0
+    intr[0, 0] = intr[1, 1] = 60.0
+    intr[0, 2], intr[1, 2] = w / 2, h / 2
+    return hp, net, pcfg, scfg, np.linalg.inv(intr)
+
+
+class TestTrainStep:
+    def test_mask_training_loss_decreases(self, rng):
+        hp, net, pcfg, scfg, inv_K = tiny_setup()
+        hp = dataclasses.replace(hp, LEARNING_RATE=3e-3)
+        opt = optim.make_optimizer(hp)
+        state = create_train_state(net, opt, jax.random.key(0), hp)
+        step = jax.jit(make_train_step(net, opt, hp, pcfg, inv_K))
+        batch = make_batch(rng, scfg, 2)
+        batch = {k: jnp.asarray(v) if not isinstance(v, dict) else
+                 {kk: jnp.asarray(vv) for kk, vv in v.items()}
+                 for k, v in batch.items()}
+        losses = []
+        for i in range(8):
+            state, logs = step(state, batch, jax.random.key(1))
+            losses.append(float(logs["pose/total_loss"]))
+        assert losses[-1] < losses[0]
+        assert int(state.skipped_updates) == 0
+        assert int(state.step) == 8
+
+    def test_frozen_modules_unchanged(self, rng):
+        hp, net, pcfg, scfg, inv_K = tiny_setup()  # mask_training preset
+        opt = optim.make_optimizer(hp)
+        state = create_train_state(net, opt, jax.random.key(0), hp)
+        step = jax.jit(make_train_step(net, opt, hp, pcfg, inv_K))
+        batch = make_batch(rng, scfg, 2)
+        p0 = jax.tree.map(np.asarray, state.params)
+        state2, _ = step(state, batch, jax.random.key(1))
+        # rotation head frozen under MASK_TRAINING; mask head must move
+        rot0 = jax.tree.leaves(p0["rotation_head"])
+        rot1 = jax.tree.leaves(jax.tree.map(np.asarray, state2.params["rotation_head"]))
+        for a, b in zip(rot0, rot1):
+            np.testing.assert_array_equal(a, b)
+        mask0 = np.concatenate([x.ravel() for x in jax.tree.leaves(p0["mask_head"])])
+        mask1 = np.concatenate(
+            [np.asarray(x).ravel() for x in jax.tree.leaves(state2.params["mask_head"])]
+        )
+        assert np.abs(mask0 - mask1).max() > 0
+
+    def test_head_training_full_pipeline_step(self, rng):
+        hp, net, pcfg, scfg, inv_K = tiny_setup(hp=C.head_training())
+        opt = optim.make_optimizer(hp)
+        state = create_train_state(net, opt, jax.random.key(0), hp)
+        step = jax.jit(make_train_step(net, opt, hp, pcfg, inv_K))
+        batch = make_batch(rng, scfg, 2)
+        state, logs = step(state, batch, jax.random.key(1))
+        assert np.isfinite(float(logs["pose/total_loss"]))
+        assert "quaternion/loss_quat" in logs
+
+    def test_eval_step_and_metric_bank(self, rng):
+        hp, net, pcfg, scfg, inv_K = tiny_setup(hp=C.head_training())
+        opt = optim.make_optimizer(hp)
+        state = create_train_state(net, opt, jax.random.key(0), hp)
+        estep = jax.jit(make_eval_step(net, hp, pcfg, inv_K))
+        bank = M.init_pose_metric_bank()
+        batch = make_batch(rng, scfg, 2)
+        logs, bank, out = estep(state, batch, jax.random.key(3), bank)
+        vals = M.compute_pose_metric_bank(bank)
+        for v in vals.values():
+            assert np.isfinite(float(v))
+        assert 0.0 <= float(logs["mask/iou"]) <= 1.0
+
+
+class TestDataParallel:
+    def test_sharded_train_step_8_devices(self, rng):
+        hp, net, pcfg, scfg, inv_K = tiny_setup()
+        mesh = make_mesh(8)
+        opt = optim.make_optimizer(hp)
+        state = create_train_state(net, opt, jax.random.key(0), hp)
+        state = replicate(state, mesh)
+        step = jax.jit(make_train_step(net, opt, hp, pcfg, inv_K))
+        batch = make_batch(rng, scfg, 8)
+        batch = shard_batch(batch, mesh)
+        state, logs = step(state, batch, jax.random.key(1))
+        assert np.isfinite(float(logs["pose/total_loss"]))
+        # Params remain replicated after the step
+        leaf = jax.tree.leaves(state.params)[0]
+        assert leaf.sharding.is_fully_replicated
+
+
+class TestOptim:
+    def test_plateau(self):
+        st = optim.plateau_init()
+        st = optim.plateau_update(st, jnp.asarray(1.0))
+        for _ in range(4):  # no improvement -> trigger after patience=2
+            st = optim.plateau_update(st, jnp.asarray(2.0))
+        assert float(st.scale) == pytest.approx(0.25)
+
+    def test_lookahead_sync(self):
+        la = optim.lookahead(sync_period=2, slow_step_size=0.5)
+        params = {"w": jnp.ones(3)}
+        st = la.init(params)
+        upd = {"w": jnp.full(3, 0.1)}
+        u1, st = la.update(upd, st, params)
+        p1 = jax.tree.map(lambda p, u: p + u, params, u1)
+        np.testing.assert_allclose(np.asarray(p1["w"]), 1.1, rtol=1e-6)
+        u2, st = la.update(upd, st, p1)
+        p2 = jax.tree.map(lambda p, u: p + u, p1, u2)
+        # after sync: slow = 1.0 + 0.5*(1.2-1.0) = 1.1
+        np.testing.assert_allclose(np.asarray(p2["w"]), 1.1, rtol=1e-6)
