@@ -1,0 +1,86 @@
+"""Benchmark: end-to-end single-image inference FPS on one TPU chip.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+Baseline: the driver's north-star target of 60 FPS end-to-end
+(BASELINE.md — the reference repo publishes no numbers; the CUDA original
+printed per-stage ms via its TimerDecorator, FPC/tools/timer.py:53-61).
+
+The benched program is the full INFERENCE-preset pipeline: ResNet18-FPN x4
+decoders -> class compression -> CC labeling -> RANSAC hough voting
+(1000 hypotheses, Pallas kernel) -> RT reconstruction, batch 1 at 480x640.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from fastposecnn_tpu import config as C
+    from fastposecnn_tpu import constants
+    from fastposecnn_tpu.models import PoseRegressorNet
+    from fastposecnn_tpu.pipeline import run_pipeline
+
+    on_tpu = jax.default_backend() == "tpu"
+
+    hp = C.inference()
+    net = PoseRegressorNet(
+        num_classes=hp.num_classes,
+        dtype=jnp.bfloat16 if on_tpu else jnp.float32,
+    )
+    pcfg = C.pipeline_config_from(hp, use_pallas=True if on_tpu else False)
+    inv_K = jnp.asarray(
+        np.linalg.inv(constants.INTRINSICS[hp.DATASET_NAME]), jnp.float32
+    )
+
+    key = jax.random.key(0)
+    image = jnp.asarray(
+        np.random.default_rng(0).normal(size=(1, hp.IMAGE_HEIGHT, hp.IMAGE_WIDTH, 3)),
+        jnp.float32,
+    )
+    variables = net.init(key, image[:, :64, :64, :])  # init on small spatial
+    # (conv params are spatial-size independent)
+
+    @jax.jit
+    def forward(variables, image):
+        logits = net.apply(variables, image, train=False)
+        out = run_pipeline(logits, jax.random.key(1), pcfg, inv_K)
+        agg = out["aggregated"]
+        return (
+            out["categorical"]["mask"],
+            agg["class_ids"],
+            agg["xy"],
+            agg["z"],
+            agg["RT"],
+        )
+
+    # Warmup / compile
+    result = forward(variables, image)
+    jax.block_until_ready(result)
+
+    iters = 30 if on_tpu else 3
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        result = forward(variables, image)
+    jax.block_until_ready(result)
+    dt = (time.perf_counter() - t0) / iters
+    fps = 1.0 / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "e2e_inference_fps_batch1_640x480",
+                "value": round(fps, 2),
+                "unit": "fps",
+                "vs_baseline": round(fps / 60.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

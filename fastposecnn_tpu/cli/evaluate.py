@@ -1,0 +1,276 @@
+"""Two-phase evaluation CLI.
+
+Parity: FPC/evaluate.py:
+  Phase A (results file absent): run the whole validation set through the
+  model, match GT<->pred, store raw per-class errors (evaluate.py:82-194
+  saves matches; we store the derived errors directly — same information
+  for the AP math, far smaller).
+  Phase B: 50-point AP curves for 3D-IoU / rotation / translation
+  (evaluate.py:297-313), table APs at {IoU .25/.5, 5/10 deg, 5/10 cm},
+  joint 5deg5cm / 10deg5cm / 10deg10cm APs (evaluate.py:319-330), plot PNG +
+  Excel/CSV export (evaluate.py:313,341).
+
+Error math runs in float64 on host (the reference computes symmetric
+quaternion distance in double, gpu_tensor_funcs.py:797).
+"""
+
+from __future__ import annotations
+
+import argparse
+import pathlib
+
+import numpy as np
+
+from fastposecnn_tpu import config as C
+from fastposecnn_tpu import constants
+
+APS_NUM_OF_POINTS = 50  # FPC/evaluate.py:40
+
+
+def collect_raw_errors(hp, valid_loader, state, net, pcfg, inv_K):
+    """Phase A: forward + match + per-class raw errors."""
+    import jax
+    import jax.numpy as jnp
+
+    from fastposecnn_tpu import geometry
+    from fastposecnn_tpu.ops.matching import gather_matched, match_instances
+    from fastposecnn_tpu.pipeline import run_pipeline
+
+    @jax.jit
+    def forward_match(params, batch_stats, batch, key):
+        variables = {"params": params, "batch_stats": batch_stats}
+        logits = net.apply(variables, batch["image"], train=False)
+        out = run_pipeline(logits, key, pcfg, jnp.asarray(inv_K, jnp.float32))
+        match = match_instances(out["aggregated"], batch["agg"])
+        matched = gather_matched(
+            out["aggregated"], batch["agg"], match,
+            keys=("quaternion", "scales", "z", "xy", "T", "R", "RT"),
+        )
+        return matched
+
+    num_classes = hp.num_classes
+    raw = {
+        "3d_iou": {c: [] for c in range(1, num_classes)},
+        "degree_error": {c: [] for c in range(1, num_classes)},
+        "offset_error": {c: [] for c in range(1, num_classes)},
+    }
+    from fastposecnn_tpu.train.loop import _pad_batch, _to_device_batch
+
+    for bi, batch in enumerate(valid_loader):
+        if batch is None:
+            continue
+        batch, n_real = _pad_batch(batch, hp.BATCH_SIZE)
+        db = _to_device_batch(batch, None)
+        matched = jax.device_get(
+            forward_match(state.params, state.batch_stats, db,
+                          jax.random.key(bi))
+        )
+        valid = matched["valid"][:n_real]
+        cls = matched["class_ids"][:n_real]
+        # f64 error math on host for metric parity
+        import jax.numpy as jnp64
+
+        gt_q = matched["gt_quaternion"][:n_real].astype(np.float64)
+        pr_q = matched["pred_quaternion"][:n_real].astype(np.float64)
+        deg = np.asarray(
+            geometry.quat_distance_deg(
+                jnp.asarray(gt_q), jnp.asarray(pr_q),
+                jnp.asarray(matched["symmetric_ids"][:n_real]),
+            )
+        )
+        iou = np.asarray(
+            geometry.asymmetric_3d_iou(
+                jnp.asarray(matched["gt_RT"][:n_real].astype(np.float64)),
+                jnp.asarray(matched["pred_RT"][:n_real].astype(np.float64)),
+                jnp.asarray(matched["gt_scales"][:n_real].astype(np.float64)),
+                jnp.asarray(matched["pred_scales"][:n_real].astype(np.float64)),
+            )
+        )
+        off = np.asarray(
+            geometry.offset_error_cm(
+                jnp.asarray(matched["gt_T"][:n_real].astype(np.float64)),
+                jnp.asarray(matched["pred_T"][:n_real].astype(np.float64)),
+            )
+        )
+        for c in range(1, num_classes):
+            sel = valid & (cls == c)
+            raw["degree_error"][c].append(deg[sel])
+            raw["3d_iou"][c].append(iou[sel])
+            raw["offset_error"][c].append(off[sel])
+
+    return {
+        metric: {c: np.concatenate(v) if v else np.zeros((0,))
+                 for c, v in per.items()}
+        for metric, per in raw.items()
+    }
+
+
+def compute_aps(raw, class_names):
+    """Phase B AP computation (FPC/evaluate.py:196-330)."""
+    import jax.numpy as jnp
+
+    from fastposecnn_tpu import geometry
+
+    figure_thresholds = {
+        "3d_iou": np.linspace(0, 1, APS_NUM_OF_POINTS),
+        "degree_error": np.linspace(0, 60, APS_NUM_OF_POINTS),
+        "offset_error": np.linspace(0, 10, APS_NUM_OF_POINTS),
+    }
+    table_thresholds = {
+        "3d_iou": np.asarray([0.25, 0.50]),
+        "degree_error": np.asarray([5.0, 10.0]),
+        "offset_error": np.asarray([5.0, 10.0]),
+    }
+    greater = {"3d_iou": True, "degree_error": False, "offset_error": False}
+
+    def build(thresholds):
+        aps = {}
+        for metric, per_class in raw.items():
+            aps[metric] = {}
+            curves = []
+            for c, values in per_class.items():
+                curve = np.asarray(
+                    geometry.calculate_ap(
+                        jnp.asarray(values),
+                        jnp.ones(values.shape, bool),
+                        jnp.asarray(thresholds[metric]),
+                        greater_is_better=greater[metric],
+                    )
+                )
+                aps[metric][class_names[c]] = curve
+                curves.append(curve)
+            aps[metric]["mean"] = np.mean(np.stack(curves), axis=0)
+        return aps
+
+    figure_aps = build(figure_thresholds)
+    table_aps = build(table_thresholds)
+
+    # Joint degree+offset APs at (5,5), (10,5), (10,10) — evaluate.py:224-227.
+    joint = {}
+    deg_t = np.asarray([5.0, 10.0, 10.0])
+    off_t = np.asarray([5.0, 5.0, 10.0])
+    curves = []
+    for c in raw["degree_error"]:
+        d = raw["degree_error"][c]
+        o = raw["offset_error"][c]
+        curve = np.asarray(
+            geometry.calculate_joint_ap(
+                jnp.asarray(d), jnp.asarray(o),
+                jnp.ones(d.shape, bool),
+                jnp.asarray(deg_t), jnp.asarray(off_t),
+            )
+        )
+        joint[class_names[c]] = curve
+        curves.append(curve)
+    joint["mean"] = np.mean(np.stack(curves), axis=0)
+    table_aps["degree_error+offset_error"] = joint
+    table_thresholds["degree_error+offset_error"] = np.asarray(
+        [5.5, 10.5, 10.10]
+    )  # label-style index like evaluate.py:334
+
+    return figure_aps, figure_thresholds, table_aps, table_thresholds
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--valid_dir", default=None)
+    parser.add_argument("--synthetic", type=int, default=0)
+    parser.add_argument("--output", default="eval_output")
+    C.add_cli_overrides(parser, C.HParams())
+    args = parser.parse_args(argv)
+
+    hp = C.evaluating()
+    hp = C.apply_cli_overrides(hp, args)
+
+    out_dir = pathlib.Path(args.output)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    results_path = out_dir / f"raw_errors_{hp.VALID_SIZE}.npz"
+
+    class_names = list(hp.SELECTED_CLASSES)
+
+    if not results_path.exists():
+        import jax
+
+        from fastposecnn_tpu.data.loader import PrefetchLoader
+        from fastposecnn_tpu.data.nocs import NOCSDataset
+        from fastposecnn_tpu.models import PoseRegressorNet
+        from fastposecnn_tpu.train import checkpoint as ckpt
+        from fastposecnn_tpu.train import optim
+        from fastposecnn_tpu.train.task import create_train_state
+
+        valid_dir = args.valid_dir
+        if args.synthetic:
+            import tempfile
+
+            from fastposecnn_tpu.data.nocs_writer import write_synthetic_nocs
+            from fastposecnn_tpu.data.synthetic import SceneConfig
+
+            valid_dir = write_synthetic_nocs(
+                pathlib.Path(tempfile.mkdtemp()) / "valid", args.synthetic, 0,
+                SceneConfig(height=hp.IMAGE_HEIGHT, width=hp.IMAGE_WIDTH,
+                            num_classes=hp.num_classes,
+                            max_instances=hp.MAX_INSTANCES),
+            )
+        ds = NOCSDataset(
+            valid_dir, dataset_name=hp.DATASET_NAME,
+            selected_classes=hp.SELECTED_CLASSES, max_size=hp.VALID_SIZE,
+            max_instances=hp.MAX_INSTANCES,
+        )
+        loader = PrefetchLoader(ds, hp.BATCH_SIZE, shuffle=False,
+                                num_workers=hp.NUM_WORKERS)
+        net = PoseRegressorNet(num_classes=hp.num_classes,
+                               encoder_name=hp.ENCODER)
+        optimizer = optim.make_optimizer(hp)
+        state = create_train_state(net, optimizer, jax.random.key(0), hp)
+        if hp.CHECKPOINT:
+            state, hp = ckpt.load_checkpoint(hp.CHECKPOINT, state, hp)
+        pcfg = C.pipeline_config_from(hp)
+        inv_K = np.linalg.inv(constants.INTRINSICS[hp.DATASET_NAME])
+        raw = collect_raw_errors(hp, loader, state, net, pcfg, inv_K)
+        np.savez(
+            results_path,
+            **{f"{m}/{c}": v for m, per in raw.items() for c, v in per.items()},
+        )
+        print(f"phase A: wrote {results_path}")
+    else:
+        print(f"phase A skipped: {results_path} exists")
+
+    # ---- Phase B ----
+    loaded = np.load(results_path)
+    raw = {}
+    for key in loaded.files:
+        metric, c = key.rsplit("/", 1)
+        raw.setdefault(metric, {})[int(c)] = loaded[key]
+
+    figure_aps, fig_thr, table_aps, table_thr = compute_aps(raw, class_names)
+
+    from fastposecnn_tpu.utils.report import save_aps
+    from fastposecnn_tpu.utils.visualize import plot_aps
+
+    plot_names = class_names[1:] + ["mean"]
+    fig = plot_aps(
+        figure_aps, fig_thr,
+        titles={"3d_iou": "3D Iou AP", "degree_error": "Rotation AP",
+                "offset_error": "Translation AP"},
+        x_labels={"3d_iou": "3D IoU %", "degree_error": "Rotation error/degree",
+                  "offset_error": "Translation error/cm"},
+        cls_names=plot_names,
+    )
+    fig_path = out_dir / f"all_metrics_{hp.VALID_SIZE}_aps.png"
+    fig.savefig(str(fig_path))
+    report_path = save_aps(
+        out_dir / f"{hp.VALID_SIZE}_aps_values_table.xlsx",
+        table_thr, table_aps, plot_names,
+    )
+    print(f"phase B: plot -> {fig_path}, tables -> {report_path}")
+    mean_ious = table_aps["3d_iou"]["mean"]
+    mean_joint = table_aps["degree_error+offset_error"]["mean"]
+    print(
+        f"3D-IoU AP@0.25={100*mean_ious[0]:.2f} @0.5={100*mean_ious[1]:.2f} | "
+        f"5d5cm={100*mean_joint[0]:.2f} 10d5cm={100*mean_joint[1]:.2f} "
+        f"10d10cm={100*mean_joint[2]:.2f}"
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,160 @@
+"""Real-time inference CLI: batch-1 loop with per-stage runtime report.
+
+Parity: FPC/inference.py: INFERENCE preset (batch 1, 1000 hypotheses,
+RUNTIME_TIMING on), saves qualitative PNGs for the first N batches, ends
+with the per-stage ms/FPS report (inference.py:165-166). Per-stage numbers
+come from separately-jitted stages (`--stage_timing`); the default times the
+single fused program (which is what production would deploy).
+"""
+
+from __future__ import annotations
+
+import argparse
+import pathlib
+
+import numpy as np
+
+from fastposecnn_tpu import config as C
+from fastposecnn_tpu import constants
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--valid_dir", default=None)
+    parser.add_argument("--synthetic", type=int, default=0)
+    parser.add_argument("--output", default=None, help="dir for PNGs")
+    parser.add_argument("--draw", type=int, default=20,
+                        help="save figures for first N batches")
+    parser.add_argument("--stage_timing", action="store_true")
+    C.add_cli_overrides(parser, C.HParams())
+    args = parser.parse_args(argv)
+
+    hp = C.inference()
+    hp = C.apply_cli_overrides(hp, args)
+
+    import jax
+    import jax.numpy as jnp
+
+    from fastposecnn_tpu.data.loader import PrefetchLoader
+    from fastposecnn_tpu.data.nocs import NOCSDataset
+    from fastposecnn_tpu.models import PoseRegressorNet
+    from fastposecnn_tpu.ops.matching import gather_matched, match_instances
+    from fastposecnn_tpu.pipeline import run_pipeline
+    from fastposecnn_tpu.train import checkpoint as ckpt
+    from fastposecnn_tpu.train import optim
+    from fastposecnn_tpu.train.loop import _pad_batch, _to_device_batch
+    from fastposecnn_tpu.train.task import create_train_state
+    from fastposecnn_tpu.utils import visualize as vz
+    from fastposecnn_tpu.utils.timer import StageTimer, report_runtime
+
+    valid_dir = args.valid_dir
+    if args.synthetic:
+        import tempfile
+
+        from fastposecnn_tpu.data.nocs_writer import write_synthetic_nocs
+        from fastposecnn_tpu.data.synthetic import SceneConfig
+
+        valid_dir = write_synthetic_nocs(
+            pathlib.Path(tempfile.mkdtemp()) / "valid", args.synthetic, 0,
+            SceneConfig(height=hp.IMAGE_HEIGHT, width=hp.IMAGE_WIDTH,
+                        num_classes=hp.num_classes,
+                        max_instances=hp.MAX_INSTANCES),
+        )
+    ds = NOCSDataset(
+        valid_dir, dataset_name=hp.DATASET_NAME,
+        selected_classes=hp.SELECTED_CLASSES, max_size=hp.VALID_SIZE,
+        max_instances=hp.MAX_INSTANCES,
+    )
+    loader = PrefetchLoader(ds, 1, shuffle=False, num_workers=hp.NUM_WORKERS)
+
+    net = PoseRegressorNet(num_classes=hp.num_classes, encoder_name=hp.ENCODER)
+    optimizer = optim.make_optimizer(hp)
+    state = create_train_state(net, optimizer, jax.random.key(0), hp)
+    if hp.CHECKPOINT:
+        state, hp = ckpt.load_checkpoint(hp.CHECKPOINT, state, hp)
+    pcfg = C.pipeline_config_from(hp)
+    inv_K = jnp.asarray(
+        np.linalg.inv(constants.INTRINSICS[hp.DATASET_NAME]), jnp.float32
+    )
+    intrinsics = constants.INTRINSICS[hp.DATASET_NAME]
+
+    timers = {
+        "forward": StageTimer("forward"),
+        "model": StageTimer("model"),
+        "pipeline": StageTimer("agg+hough+rt"),
+    }
+
+    @jax.jit
+    def fused(params, batch_stats, image, key):
+        logits = net.apply(
+            {"params": params, "batch_stats": batch_stats}, image, train=False
+        )
+        return run_pipeline(logits, key, pcfg, inv_K)
+
+    model_only = jax.jit(
+        lambda p, bs, im: net.apply(
+            {"params": p, "batch_stats": bs}, im, train=False
+        )
+    )
+    pipeline_only = jax.jit(
+        lambda logits, key: run_pipeline(logits, key, pcfg, inv_K)
+    )
+
+    out_dir = pathlib.Path(args.output) if args.output else None
+    if out_dir:
+        out_dir.mkdir(parents=True, exist_ok=True)
+
+    for bi, batch in enumerate(loader):
+        if batch is None:
+            continue
+        batch, _ = _pad_batch(batch, 1)
+        db = _to_device_batch(batch, None)
+        key = jax.random.key(bi)
+
+        with timers["forward"].measure():
+            out = jax.block_until_ready(
+                fused(state.params, state.batch_stats, db["image"], key)
+            )
+        if args.stage_timing:
+            with timers["model"].measure():
+                logits = jax.block_until_ready(
+                    model_only(state.params, state.batch_stats, db["image"])
+                )
+            with timers["pipeline"].measure():
+                jax.block_until_ready(pipeline_only(logits, key))
+
+        if out_dir and bi < args.draw:
+            agg = jax.device_get(out["aggregated"])
+            match = match_instances(out["aggregated"], db["agg"])
+            matched = jax.device_get(gather_matched(
+                out["aggregated"], db["agg"], match,
+                keys=("scales", "RT"),
+            ))
+            img = vz.denormalize_image(np.asarray(db["image"][0]))
+            pose_img = vz.compare_pose_performance(
+                img,
+                matched["gt_RT"][0], matched["gt_scales"][0],
+                matched["pred_RT"][0], matched["pred_scales"][0],
+                matched["valid"][0], intrinsics,
+            )
+            fig = vz.make_summary_figure(
+                rgb=img,
+                pred_mask=vz.colorize_mask(
+                    np.asarray(out["categorical"]["mask"][0]), hp.num_classes
+                ),
+                gt_mask=vz.colorize_mask(np.asarray(db["mask"][0]), hp.num_classes),
+                pose=pose_img,
+                hough=vz.visualize_hypothesis(
+                    img, agg["xy"][0], agg["valid"][0]
+                ),
+            )
+            fig.savefig(str(out_dir / f"{bi:04d}.png"))
+            import matplotlib.pyplot as plt
+
+            plt.close(fig)
+
+    report_runtime(timers)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,104 @@
+"""Training CLI.
+
+Parity: FPC/train.py — `python -m fastposecnn_tpu.cli.train -e NAME
+[--HPARAM=value ...]` with every HParams field reflected as a flag
+(FPC/train.py:102-112). Dataset roots come from env vars
+NOCS_CAMERA_TRAIN_DATASET / NOCS_CAMERA_VALID_DATASET /
+NOCS_REAL_TRAIN_DATASET / NOCS_REAL_VALID_DATASET (FPC/.env:1-27), with
+--train_dir/--valid_dir overrides and --synthetic N to fabricate a
+NOCS-format dataset on the fly (zero-egress environments).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import pathlib
+import tempfile
+
+import numpy as np
+
+from fastposecnn_tpu import config as C
+from fastposecnn_tpu import constants
+
+
+def dataset_dirs(hp, args):
+    name = hp.DATASET_NAME
+    train_dir = args.train_dir or os.getenv(f"NOCS_{name}_TRAIN_DATASET")
+    valid_dir = args.valid_dir or os.getenv(f"NOCS_{name}_VALID_DATASET")
+    return train_dir, valid_dir
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("-e", "--experiment", default="TESTING")
+    parser.add_argument(
+        "--preset", default="HEAD_TRAINING", choices=sorted(C.PRESETS)
+    )
+    parser.add_argument("--train_dir", default=None)
+    parser.add_argument("--valid_dir", default=None)
+    parser.add_argument("--synthetic", type=int, default=0,
+                        help="generate N synthetic samples instead of reading disk")
+    parser.add_argument("--epochs", type=int, default=None)
+    parser.add_argument("--no_tb", action="store_true")
+    parser.add_argument("--resume", default=None)
+    C.add_cli_overrides(parser, C.HParams())
+    args = parser.parse_args(argv)
+
+    hp = C.PRESETS[args.preset](EXPERIMENT_NAME=args.experiment)
+    hp = C.apply_cli_overrides(hp, args)
+
+    # Deterministic seeding (FPC/train.py:125-137).
+    if hp.DETERMINISTIC:
+        np.random.seed(125)
+
+    from fastposecnn_tpu.data.loader import PrefetchLoader
+    from fastposecnn_tpu.data.nocs import NOCSDataset
+    from fastposecnn_tpu.train.loop import fit
+
+    train_dir, valid_dir = dataset_dirs(hp, args)
+    if args.synthetic:
+        from fastposecnn_tpu.data.nocs_writer import write_synthetic_nocs
+        from fastposecnn_tpu.data.synthetic import SceneConfig
+
+        tmp = pathlib.Path(tempfile.mkdtemp(prefix="fpcnn_synth_"))
+        scfg = SceneConfig(
+            height=hp.IMAGE_HEIGHT, width=hp.IMAGE_WIDTH,
+            num_classes=hp.num_classes, max_instances=hp.MAX_INSTANCES,
+        )
+        train_dir = write_synthetic_nocs(tmp / "train", args.synthetic, 0, scfg)
+        valid_dir = write_synthetic_nocs(
+            tmp / "valid", max(2, args.synthetic // 4), 1, scfg
+        )
+    if not train_dir or not valid_dir:
+        raise SystemExit(
+            "No dataset: set NOCS_*_DATASET env vars, pass --train_dir/"
+            "--valid_dir, or use --synthetic N"
+        )
+
+    common = dict(
+        dataset_name=hp.DATASET_NAME,
+        selected_classes=hp.SELECTED_CLASSES,
+        max_instances=hp.MAX_INSTANCES,
+    )
+    train_ds = NOCSDataset(train_dir, max_size=hp.TRAIN_SIZE, **common)
+    valid_ds = NOCSDataset(valid_dir, max_size=hp.VALID_SIZE, **common)
+    train_loader = PrefetchLoader(
+        train_ds, hp.BATCH_SIZE, shuffle=not hp.DETERMINISTIC,
+        num_workers=hp.NUM_WORKERS,
+    )
+    valid_loader = PrefetchLoader(
+        valid_ds, hp.BATCH_SIZE, shuffle=False, num_workers=hp.NUM_WORKERS
+    )
+
+    inv_K = np.linalg.inv(constants.INTRINSICS[hp.DATASET_NAME])
+    state, run_dir = fit(
+        hp, train_loader, valid_loader, inv_K,
+        enable_tb=not args.no_tb, num_epochs=args.epochs,
+        resume_from=args.resume,
+    )
+    print(f"run dir: {run_dir}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,78 @@
+"""Host-side batching + prefetch loader.
+
+Replaces torch DataLoader(NUM_WORKERS=...) (FPC/tools/dataset.py:626-653)
+with a thread-pool prefetcher: sample decode happens in worker threads (PIL
+releases the GIL for PNG decode), batches are collated and queued ahead of
+the step. An optional native C++ decode backend (native/fpcnn_native.so,
+data/native_loader.py) accelerates PNG decode when built.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator, Optional
+
+import numpy as np
+
+from fastposecnn_tpu.data.nocs import collate
+
+
+class PrefetchLoader:
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = True,
+        num_workers: int = 4,
+        seed: int = 0,
+        prefetch: int = 2,
+        drop_last: bool = False,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_workers = max(1, num_workers)
+        self.seed = seed
+        self.prefetch = prefetch
+        self.drop_last = drop_last
+        self.epoch = 0
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    def _index_batches(self):
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self.epoch)
+            rng.shuffle(idx)
+        for s in range(0, len(idx), self.batch_size):
+            chunk = idx[s : s + self.batch_size]
+            if self.drop_last and len(chunk) < self.batch_size:
+                return
+            yield chunk
+
+    def __iter__(self) -> Iterator[Optional[dict]]:
+        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+
+        def producer():
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                for chunk in self._index_batches():
+                    samples = list(pool.map(self.dataset.__getitem__, chunk))
+                    out_q.put(collate(samples))
+            out_q.put(sentinel)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = out_q.get()
+            if item is sentinel:
+                break
+            yield item  # may be None (all samples rejected) — callers skip
+        t.join()
+        self.epoch += 1

@@ -1,0 +1,68 @@
+"""Write synthetic scenes to disk in the NOCS on-disk layout.
+
+Produces the exact file family the reference's offline prep emits
+(FPC/tools/create_meta+.py:694-696): `XXXX_color.png`, `XXXX_mask.png`,
+`XXXX_depth.png`, `XXXX_meta+.json` with
+{instance_dict, scales, RTs, norm_factors, quaternions} — so the dataset
+reader, the CLIs and the native loader can all be exercised without the
+real NOCS download (unavailable in this zero-egress environment).
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+
+import numpy as np
+from PIL import Image
+
+from fastposecnn_tpu.data.synthetic import SceneConfig, generate_scene
+
+
+def write_synthetic_nocs(
+    root,
+    num_samples: int = 8,
+    seed: int = 0,
+    scene_cfg: SceneConfig = None,
+    subdir_every: int = 4,
+) -> pathlib.Path:
+    root = pathlib.Path(root)
+    cfg = scene_cfg or SceneConfig()
+    rng = np.random.default_rng(seed)
+    for i in range(num_samples):
+        d = root / f"{i // subdir_every:05d}"
+        d.mkdir(parents=True, exist_ok=True)
+        prefix = d / f"{i % subdir_every:04d}"
+        scene = generate_scene(rng, cfg)
+        agg = scene["agg"]
+        valid = agg["valid"]
+        n = int(valid.sum())
+
+        img = np.clip(scene["image"], 0, 1)
+        Image.fromarray((img * 255).astype(np.uint8)).save(
+            f"{prefix}_color.png"
+        )
+
+        # Instance-id mask: ids 1..n; background 255 like NOCS raw masks.
+        inst_mask = np.full(scene["mask"].shape, 255, np.uint8)
+        for k in range(n):
+            inst_mask[agg["instance_masks"][k] > 0] = k + 1
+        Image.fromarray(inst_mask).save(f"{prefix}_mask.png")
+
+        # Depth: per-pixel object z in mm (uint16), 0 background.
+        depth = np.zeros(scene["mask"].shape, np.uint16)
+        for k in range(n):
+            depth[agg["instance_masks"][k] > 0] = np.uint16(agg["z"][k])
+        Image.fromarray(depth).save(f"{prefix}_depth.png")
+
+        meta = {
+            "instance_dict": {
+                str(k + 1): int(agg["class_ids"][k]) for k in range(n)
+            },
+            "scales": agg["scales"][valid].tolist(),
+            "RTs": agg["RT"][valid].astype(np.float64).tolist(),
+            "norm_factors": [1.0] * n,
+            "quaternions": agg["quaternion"][valid].tolist(),
+        }
+        pathlib.Path(f"{prefix}_meta+.json").write_text(json.dumps(meta))
+    return root

@@ -132,29 +132,27 @@ def _vote_count_kernel(
     hx_ref, hy_ref, px_ref, py_ref, dx_ref, dy_ref, pv_ref, out_ref,
     *, thresh_sq: float, p_tile: int,
 ):
-    hx = hx_ref[0, :]  # [TH]
-    hy = hy_ref[0, :]
+    hx = hx_ref[...]  # [MB, TH]
+    hy = hy_ref[...]
     num_p = px_ref.shape[1]
 
     def body(i, acc):
         sl = pl.ds(i * p_tile, p_tile)
-        px = px_ref[0, sl]
-        py = py_ref[0, sl]
-        dx = dx_ref[0, sl]
-        dy = dy_ref[0, sl]
-        pv = pv_ref[0, sl]
-        ax = hx[:, None] - px[None, :]  # [TH, TP]
-        ay = hy[:, None] - py[None, :]
-        dot = ax * dx[None, :] + ay * dy[None, :]
-        vsq = (ax * ax + ay * ay) * (dx * dx + dy * dy)[None, :]
+        px = px_ref[:, sl]  # [MB, TP]
+        py = py_ref[:, sl]
+        dx = dx_ref[:, sl]
+        dy = dy_ref[:, sl]
+        pv = pv_ref[:, sl]
+        ax = hx[:, :, None] - px[:, None, :]  # [MB, TH, TP]
+        ay = hy[:, :, None] - py[:, None, :]
+        dot = ax * dx[:, None, :] + ay * dy[:, None, :]
+        vsq = (ax * ax + ay * ay) * (dx * dx + dy * dy)[:, None, :]
         inlier = (dot > 0) & (dot * dot > thresh_sq * vsq)
-        votes = jnp.where(inlier, pv[None, :], 0.0)
-        return acc + jnp.sum(votes, axis=1)
+        votes = jnp.where(inlier, pv[:, None, :], 0.0)
+        return acc + jnp.sum(votes, axis=2)
 
-    acc = lax.fori_loop(
-        0, num_p // p_tile, body, jnp.zeros_like(hx)
-    )
-    out_ref[0, :] = acc
+    acc = lax.fori_loop(0, num_p // p_tile, body, jnp.zeros_like(hx))
+    out_ref[...] = acc
 
 
 def vote_counts_pallas(
@@ -163,41 +161,44 @@ def vote_counts_pallas(
     dirs: jax.Array,  # [M, P, 2]
     pvalid: jax.Array,  # [M, P] float 0/1
     inlier_thresh: float,
+    m_block: int = 8,
     h_tile: int = 128,
-    p_tile: int = 256,
+    p_tile: int = 128,
     interpret: bool = False,
 ) -> jax.Array:
     """Inlier counts [M, H] via a VPU-tiled Pallas kernel.
 
-    Grid (M, H/TH); per step the [TH] hypothesis tile votes against P points
-    in TP-chunks, so the [TH, TP] inlier matrix never leaves VMEM (the CUDA
-    reference materializes the full [hn, vn, tn] uint8 tensor in HBM,
-    ransac_voting_gpu.py:563).
+    Grid (M/MB, H/TH); each step an [MB, TH] hypothesis tile votes against
+    the P points in TP-chunks, so the [MB, TH, TP] inlier tensor never
+    leaves VMEM (the CUDA reference materializes the full [hn, vn, tn]
+    uint8 tensor in HBM, ransac_voting_gpu.py:563). Blocks respect the
+    (8, 128) f32 tiling constraint: MB=8 sublanes, TH/TP lane-sized.
     """
     m, h, _ = hyps.shape
     p = pts.shape[1]
+    mp = _round_up(m, m_block)
     hp = _round_up(h, h_tile)
     pp = _round_up(p, p_tile)
 
-    def pad(x, target, axis):
-        width = [(0, 0)] * x.ndim
-        width[axis] = (0, target - x.shape[axis])
-        return jnp.pad(x, width)
+    def prep(x, target_last):
+        return jnp.pad(
+            x, [(0, mp - m), (0, target_last - x.shape[1])]
+        )
 
-    hx = pad(hyps[..., 0], hp, 1)
-    hy = pad(hyps[..., 1], hp, 1)
-    px = pad(pts[..., 0], pp, 1)
-    py = pad(pts[..., 1], pp, 1)
-    dx = pad(dirs[..., 0], pp, 1)
-    dy = pad(dirs[..., 1], pp, 1)
-    pv = pad(pvalid.astype(jnp.float32), pp, 1)
+    hx = prep(hyps[..., 0], hp)
+    hy = prep(hyps[..., 1], hp)
+    px = prep(pts[..., 0], pp)
+    py = prep(pts[..., 1], pp)
+    dx = prep(dirs[..., 0], pp)
+    dy = prep(dirs[..., 1], pp)
+    pv = prep(pvalid.astype(jnp.float32), pp)
 
-    grid = (m, hp // h_tile)
+    grid = (mp // m_block, hp // h_tile)
     hyp_spec = pl.BlockSpec(
-        (1, h_tile), lambda i, j: (i, j), memory_space=pltpu.VMEM
+        (m_block, h_tile), lambda i, j: (i, j), memory_space=pltpu.VMEM
     )
     pt_spec = pl.BlockSpec(
-        (1, pp), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+        (m_block, pp), lambda i, j: (i, 0), memory_space=pltpu.VMEM
     )
     out = pl.pallas_call(
         functools.partial(
@@ -205,13 +206,13 @@ def vote_counts_pallas(
             thresh_sq=float(inlier_thresh) ** 2,
             p_tile=p_tile,
         ),
-        out_shape=jax.ShapeDtypeStruct((m, hp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((mp, hp), jnp.float32),
         grid=grid,
         in_specs=[hyp_spec, hyp_spec, pt_spec, pt_spec, pt_spec, pt_spec, pt_spec],
         out_specs=hyp_spec,
         interpret=interpret,
     )(hx, hy, px, py, dx, dy, pv)
-    return out[:, :h]
+    return out[:m, :h]
 
 
 def vote_counts_jnp(

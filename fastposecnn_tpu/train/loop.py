@@ -1,0 +1,178 @@
+"""Host-side training loop: epochs, logging, plateau LR, checkpoints.
+
+Parity: FPC/train.py:237-333 (run dir + HPARAM.json + Trainer.fit) and the
+callback suite (FPC/callbacks.py): per-batch TB scalars, epoch averages,
+best-checkpoint on the validation pose loss ('checkpoint_on',
+FPC/lib/pose_regressor.py:153), every-N checkpoint
+(`CheckpointEveryNSteps`, callbacks.py:570-613), per-epoch visualization of
+a few validation samples (callbacks.py:262-523 — utils/visualize.py here).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import datetime
+import pathlib
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fastposecnn_tpu import metrics as M
+from fastposecnn_tpu.config import HParams, pipeline_config_from
+from fastposecnn_tpu.models import PoseRegressorNet
+from fastposecnn_tpu.parallel import make_mesh, replicate, shard_batch
+from fastposecnn_tpu.train import checkpoint as ckpt
+from fastposecnn_tpu.train import optim
+from fastposecnn_tpu.train.task import (
+    create_train_state,
+    make_eval_step,
+    make_train_step,
+)
+from fastposecnn_tpu.utils.tb import RunLogger
+
+
+def make_run_dir(hp: HParams, base: Optional[str] = None) -> pathlib.Path:
+    """$LOGS/yy-mm-dd/HH-MM-EXPERIMENT-MODEL-DATASET-encoder-weights/
+    (FPC/train.py:237-248)."""
+    import os
+
+    base = pathlib.Path(base or os.getenv("LOGS", "logs"))
+    now = datetime.datetime.now()
+    day = base / now.strftime("%y-%m-%d")
+    run = day / (
+        f"{now.strftime('%H-%M')}-{hp.EXPERIMENT_NAME}-{hp.MODEL}-"
+        f"{hp.DATASET_NAME}-{hp.ENCODER}-{hp.ENCODER_WEIGHTS}"
+    )
+    run.mkdir(parents=True, exist_ok=True)
+    return run
+
+
+def _to_device_batch(batch, mesh):
+    db = {
+        "image": jnp.asarray(batch["image"], jnp.float32),
+        "mask": jnp.asarray(batch["mask"], jnp.int32),
+        "agg": {k: jnp.asarray(v) for k, v in batch["agg"].items()},
+    }
+    if mesh is not None:
+        db = shard_batch(db, mesh)
+    return db
+
+
+def _pad_batch(batch, batch_size):
+    """Pad a short final batch up to the static batch size (mask GT slots
+    invalid so padded samples contribute nothing to matched losses)."""
+    n = batch["image"].shape[0]
+    if n == batch_size:
+        return batch, n
+
+    def pad(x):
+        width = [(0, batch_size - n)] + [(0, 0)] * (x.ndim - 1)
+        return np.pad(np.asarray(x), width)
+
+    out = {
+        "image": pad(batch["image"]),
+        "mask": pad(batch["mask"]),
+        "agg": {k: pad(v) for k, v in batch["agg"].items()},
+    }
+    return out, n
+
+
+def fit(
+    hp: HParams,
+    train_loader,
+    valid_loader,
+    inv_intrinsics,
+    run_dir: Optional[pathlib.Path] = None,
+    mesh=None,
+    enable_tb: bool = True,
+    num_epochs: Optional[int] = None,
+    resume_from: Optional[str] = None,
+):
+    """Two-generic-stage trainer used by cli/train.py. Returns final state."""
+    run_dir = run_dir or make_run_dir(hp)
+    hp.save(run_dir / "HPARAM.json")  # FPC/train.py:277-278
+    logger = RunLogger(run_dir, enabled=enable_tb)
+
+    if mesh is None and len(jax.devices()) > 1 and hp.NUM_DEVICES > 1:
+        mesh = make_mesh(hp.NUM_DEVICES)
+
+    net = PoseRegressorNet(
+        num_classes=hp.num_classes,
+        encoder_name=hp.ENCODER,
+        dtype=jnp.bfloat16
+        if (hp.COMPUTE_DTYPE == "bfloat16" and jax.default_backend() == "tpu")
+        else jnp.float32,
+    )
+    pcfg = pipeline_config_from(hp)
+    optimizer = optim.make_optimizer(hp)
+    state = create_train_state(net, optimizer, jax.random.key(0), hp)
+    if resume_from:
+        state, hp = ckpt.load_checkpoint(resume_from, state, hp)
+    if mesh is not None:
+        state = replicate(state, mesh)
+
+    train_step = jax.jit(make_train_step(net, optimizer, hp, pcfg, inv_intrinsics))
+    eval_step = jax.jit(make_eval_step(net, hp, pcfg, inv_intrinsics))
+
+    plateau = optim.plateau_init()
+    best_val = float("inf")
+    rng = jax.random.key(42)
+    ckpt_dir = run_dir / "checkpoints"
+
+    for epoch in range(num_epochs or hp.NUM_EPOCHS):
+        # ---- train ----
+        for bi, batch in enumerate(train_loader):
+            if batch is None:  # all samples rejected (dataset.py:456-460)
+                continue
+            batch, _ = _pad_batch(batch, hp.BATCH_SIZE)
+            db = _to_device_batch(batch, mesh)
+            state, logs = train_step(state, db, rng)
+            logger.log_metrics(
+                "train", {k: v for k, v in logs.items()}, int(state.step)
+            )
+        logger.log_epoch_average("train", epoch)
+
+        # ---- validate ----
+        bank = M.init_pose_metric_bank()
+        val_losses = []
+        for bi, batch in enumerate(valid_loader):
+            if batch is None:
+                continue
+            batch, _ = _pad_batch(batch, hp.BATCH_SIZE)
+            db = _to_device_batch(batch, mesh)
+            logs, bank, _ = eval_step(state, db, jax.random.key(epoch), bank)
+            val_losses.append(float(logs["pose/total_loss"]))
+            logger.log_metrics("valid", logs, int(state.step))
+        pose_vals = {
+            f"pose/{k}": float(v)
+            for k, v in M.compute_pose_metric_bank(bank).items()
+        }
+        logger.log_metrics("valid", pose_vals, int(state.step), accumulate=False)
+        epoch_avgs = logger.log_epoch_average("valid", epoch)
+        val_loss = float(np.mean(val_losses)) if val_losses else float("inf")
+
+        # ---- plateau LR (pose_regressor.py:417-438) ----
+        plateau = optim.plateau_update(plateau, jnp.asarray(val_loss))
+        state = state._replace(
+            opt_state=optim.set_lr_scale(state.opt_state, plateau.scale)
+        )
+
+        # ---- checkpoints ----
+        if val_loss < best_val:
+            best_val = val_loss
+            ckpt.save_checkpoint(ckpt_dir / "best", int(state.step), state, hp)
+        if (epoch + 1) % hp.CKPT_SAVE_FREQUENCY == 0:
+            ckpt.save_checkpoint(ckpt_dir / "periodic", int(state.step), state, hp)
+        print(
+            f"epoch {epoch}: val_loss={val_loss:.4f} "
+            f"lr_scale={float(plateau.scale):.4f} "
+            f"skipped={int(jax.device_get(state.skipped_updates))} "
+            + " ".join(f"{k.split('/')[-1]}={v:.2f}" for k, v in pose_vals.items())
+        )
+
+    ckpt.save_checkpoint(ckpt_dir / "last", int(state.step), state, hp)
+    logger.log_hparams(dataclasses.asdict(hp), {"best_val_loss": best_val})
+    logger.close()
+    return state, run_dir
