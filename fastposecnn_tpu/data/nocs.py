@@ -89,6 +89,7 @@ class NOCSDataset:
         max_instances: int = 16,
         image_size: Optional[tuple] = None,  # (H, W) crop/pad target
         normalize: bool = True,
+        use_native: Optional[bool] = None,  # None -> auto-detect
     ):
         self.dataset_dir = pathlib.Path(dataset_dir)
         self.dataset_name = dataset_name
@@ -105,7 +106,35 @@ class NOCSDataset:
         self.image_size = image_size
         self.normalize = normalize
         self.intrinsics = self.spec.intrinsics
+        if use_native is None:
+            from fastposecnn_tpu.data import native_loader
+
+            use_native = native_loader.available()
+        self.use_native = use_native
         self.images_fps = self._scan(self.dataset_dir, max_size)
+
+    def _read_image(self, fp) -> np.ndarray:
+        """Decode + (optionally) ImageNet-normalize the color image, using
+        the native libpng path when built (native/fpcnn_native.cpp)."""
+        if self.use_native:
+            from fastposecnn_tpu.data import native_loader as nl
+
+            if self.normalize:
+                h, w, c, bd = nl.png_info(fp)
+                if c in (3, 4) and bd == 8:
+                    return nl.decode_normalized(fp, h, w)
+            raw = nl.decode_png(fp)
+            if raw.ndim == 2:
+                raw = np.repeat(raw[..., None], 3, axis=-1)
+            img = raw[..., :3].astype(np.float32) / 255.0
+        else:
+            img = (
+                np.asarray(Image.open(fp).convert("RGB")).astype(np.float32)
+                / 255.0
+            )
+        if self.normalize:
+            img = (img - IMAGENET_MEAN) / IMAGENET_STD
+        return img
 
     # -- scanning -------------------------------------------------------
     def _scan(self, root: pathlib.Path, max_size) -> List[pathlib.Path]:
@@ -144,7 +173,7 @@ class NOCSDataset:
     # -- sample loading ---------------------------------------------------
     def __getitem__(self, i: int) -> Optional[Dict[str, np.ndarray]]:
         fp = self.images_fps[i]
-        image = np.asarray(Image.open(fp).convert("RGB"))
+        image = self._read_image(fp)
 
         mask_fp = str(fp).replace("_color.png", "_mask.png")
         mask_raw = np.asarray(Image.open(mask_fp))
@@ -212,10 +241,6 @@ class NOCSDataset:
         # Reject corrupt samples (z <= 0), dataset.py:216-218.
         if (agg["z"][agg["valid"]] <= 0).any():
             return None
-
-        image = image.astype(np.float32) / 255.0
-        if self.normalize:
-            image = (image - IMAGENET_MEAN) / IMAGENET_STD
 
         return {
             "path": str(fp),

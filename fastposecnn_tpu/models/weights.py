@@ -1,0 +1,113 @@
+"""Import torch ResNet weights (torchvision/smp layout) into the flax encoder.
+
+Parity: the reference gets ImageNet weights through
+smp.encoders.get_encoder(..., weights='imagenet')
+(FPC/lib/pose_regressor.py:607-613), which downloads a torchvision ResNet
+state_dict. This module converts such a state_dict (loaded with
+torch.load / from a .pth file) into the {params, batch_stats} subtrees of
+`models.resnet.ResNetEncoder`.
+
+Conventions converted:
+  torch Conv2d weight [out, in, kh, kw]  ->  flax kernel [kh, kw, in, out]
+  torch BatchNorm weight/bias            ->  flax scale/bias
+  torch running_mean/var                 ->  flax batch_stats mean/var
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Mapping, Tuple
+
+import numpy as np
+
+from fastposecnn_tpu.models.resnet import RESNET_SPECS
+
+
+def _conv(w) -> np.ndarray:
+    return np.ascontiguousarray(np.asarray(w).transpose(2, 3, 1, 0))
+
+
+def _bn(prefix: str, sd: Mapping) -> Tuple[Dict, Dict]:
+    params = {
+        "scale": np.asarray(sd[f"{prefix}.weight"]),
+        "bias": np.asarray(sd[f"{prefix}.bias"]),
+    }
+    stats = {
+        "mean": np.asarray(sd[f"{prefix}.running_mean"]),
+        "var": np.asarray(sd[f"{prefix}.running_var"]),
+    }
+    return params, stats
+
+
+def convert_torch_resnet(
+    state_dict: Mapping, encoder_name: str = "resnet18"
+) -> Tuple[Dict, Dict]:
+    """torchvision ResNet state_dict -> (params, batch_stats) subtrees
+    matching ResNetEncoder's module names."""
+    sd = {k: v for k, v in state_dict.items()}
+    spec = RESNET_SPECS[encoder_name]
+    params: Dict = {"conv1": {"kernel": _conv(sd["conv1.weight"])}}
+    stats: Dict = {}
+    params["bn1"], stats["bn1"] = _bn("bn1", sd)
+
+    for stage, num_blocks in enumerate(spec.stage_sizes):
+        for b in range(num_blocks):
+            t = f"layer{stage + 1}.{b}"
+            name = f"layer{stage + 1}_{b}"
+            block_p: Dict = {}
+            block_s: Dict = {}
+            n_convs = 3 if spec.block == "bottleneck" else 2
+            for ci in range(1, n_convs + 1):
+                block_p[f"conv{ci}"] = {"kernel": _conv(sd[f"{t}.conv{ci}.weight"])}
+                block_p[f"bn{ci}"], block_s[f"bn{ci}"] = _bn(f"{t}.bn{ci}", sd)
+            if f"{t}.downsample.0.weight" in sd:
+                block_p["downsample_conv"] = {
+                    "kernel": _conv(sd[f"{t}.downsample.0.weight"])
+                }
+                (
+                    block_p["downsample_bn"],
+                    block_s["downsample_bn"],
+                ) = _bn(f"{t}.downsample.1", sd)
+            params[name] = block_p
+            stats[name] = block_s
+    return params, stats
+
+
+def load_pretrained_encoder(variables: Dict, state_dict: Mapping,
+                            encoder_name: str = "resnet18") -> Dict:
+    """Return a copy of the model variables with the encoder subtree
+    replaced by converted torch weights (shape-checked)."""
+    import jax
+
+    params, stats = convert_torch_resnet(state_dict, encoder_name)
+    new_vars = jax.tree.map(lambda x: x, variables)  # shallow-ish copy
+
+    def merge(dst, src, path=""):
+        for k, v in src.items():
+            if isinstance(v, dict):
+                merge(dst[k], v, f"{path}/{k}")
+            else:
+                if tuple(dst[k].shape) != tuple(v.shape):
+                    raise ValueError(
+                        f"shape mismatch at {path}/{k}: "
+                        f"{dst[k].shape} vs {v.shape}"
+                    )
+                dst[k] = v.astype(np.asarray(dst[k]).dtype)
+
+    import flax
+
+    new_vars = flax.core.unfreeze(new_vars)
+    merge(new_vars["params"]["encoder"], params, "params")
+    merge(new_vars["batch_stats"]["encoder"], stats, "batch_stats")
+    return new_vars
+
+
+def load_state_dict_file(path):
+    """Load a torch .pth/.pt state_dict on CPU (no CUDA needed)."""
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=True)
+    if hasattr(obj, "state_dict"):
+        obj = obj.state_dict()
+    if "state_dict" in obj and isinstance(obj["state_dict"], dict):
+        obj = obj["state_dict"]
+    return {k: v.numpy() for k, v in obj.items() if hasattr(v, "numpy")}
