@@ -3,10 +3,12 @@
 Parity: FPC/lib/gpu_tensor_funcs.py:52-99 (`class_compress`) +
 FPC/lib/pose_regressor.py:445-457 (`Model.class_compression`).
 
-The reference scatters a one-hot class mask, multiplies per-class chunks and
-sums over classes. Because the class mask is one-hot, that sum is a *select*:
-here it is a single `take_along_axis` gather per key — O(pixels) instead of
-O(pixels x classes), and XLA fuses it with the surrounding normalize.
+Implementation note (TPU): this is a one-hot multiply + sum over the class
+axis — structurally the same as the reference's scatter/chunk/sum
+(gpu_tensor_funcs.py:64-85) rather than a per-pixel gather. A gather-based
+select (`take_along_axis`) is O(pixels) in theory but lowers to per-element
+dynamic indexing on TPU and measured ~17 ms at 480x640; the multiply-sum is
+pure VPU work that XLA fuses into the surrounding ops (<1 ms).
 """
 
 from __future__ import annotations
@@ -30,30 +32,29 @@ def class_compress(logits: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
       scales:     [B, H, W, 3]  0 on background
     """
     # LogSoftmax then argmax == argmax (FPC pose_regressor.py:449).
+    num_classes = logits["mask"].shape[-1]
     cat_mask = jnp.argmax(logits["mask"], axis=-1).astype(jnp.int32)
-    fg = cat_mask > 0
-    # Index into the C-1 foreground class groups; background clamped to 0 and
-    # zeroed afterwards (reference zeroes non-class pixels before summing).
-    cls_idx = jnp.maximum(cat_mask - 1, 0)
+    # One-hot over the C-1 foreground groups; background rows are all-zero,
+    # which also zeroes bg pixels (reference zeroes non-class pixels too).
+    onehot = jax.nn.one_hot(
+        cat_mask - 1, num_classes - 1, dtype=logits["quaternion"].dtype
+    )  # [B, H, W, C-1]; cat_mask==0 -> all zeros
 
     def select(field: jax.Array) -> jax.Array:
-        # field: [B, H, W, C-1] or [B, H, W, C-1, k] -> class axis gathered out
-        idx = cls_idx[..., None]  # [B, H, W, 1]
-        if field.ndim == 5:
-            idx = idx[..., None]  # [B, H, W, 1, 1], broadcasts over k
-        return jnp.squeeze(jnp.take_along_axis(field, idx, axis=3), axis=3)
+        # field: [B, H, W, C-1] or [B, H, W, C-1, k]
+        oh = onehot if field.ndim == 4 else onehot[..., None]
+        return jnp.sum(field * oh, axis=3)
 
     quat = select(logits["quaternion"])
     xy = select(logits["xy"])
     z = select(logits["z"])
     scales = select(logits["scales"])
 
-    fg_f = fg.astype(quat.dtype)
     out = {
         "mask": cat_mask,
-        "quaternion": safe_normalize(quat * fg_f[..., None]),
-        "xy": safe_normalize(xy * fg_f[..., None]),
-        "z": z * fg_f,
-        "scales": scales * fg_f[..., None],
+        "quaternion": safe_normalize(quat),
+        "xy": safe_normalize(xy),
+        "z": z,
+        "scales": scales,
     }
     return out

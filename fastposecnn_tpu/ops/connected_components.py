@@ -27,19 +27,39 @@ from jax import lax
 _BIG = jnp.iinfo(jnp.int32).max
 
 
+def _segmented_run_min(lbl: jax.Array, fg: jax.Array, axis: int) -> jax.Array:
+    """Per contiguous foreground run along `axis`, broadcast the run minimum.
+
+    Segmented min-scan (forward + backward) via lax.associative_scan — pure
+    VPU work, no gathers. Background cells carry _BIG and reset segments.
+    """
+    reset = ~fg
+
+    def combine(a, b):
+        m1, r1 = a
+        m2, r2 = b
+        return jnp.where(r2, m2, jnp.minimum(m1, m2)), r1 | r2
+
+    fwd, _ = lax.associative_scan(combine, (lbl, reset), axis=axis)
+    bwd, _ = lax.associative_scan(combine, (lbl, reset), axis=axis,
+                                  reverse=True)
+    out = jnp.minimum(fwd, bwd)
+    return jnp.where(fg, out, _BIG)
+
+
 def _label_single(fg: jax.Array, max_iters: int) -> jax.Array:
-    """fg: [H, W] bool -> [H, W] int32 root linear index (or -1 on bg)."""
+    """fg: [H, W] bool -> [H, W] int32 root linear index (or -1 on bg).
+
+    Each iteration runs a row pass + column pass of segmented run-min
+    scans (one iteration fully labels any x/y-convex component); every 4th
+    iteration adds a pointer-jump (label <- label[label]) so serpentine
+    components converge in O(log turns) instead of O(turns). Scans are
+    gather-free — on TPU the pointer-jump gather was the dominant cost of
+    the pure min-propagation formulation.
+    """
     h, w = fg.shape
     lin = jnp.arange(h * w, dtype=jnp.int32).reshape(h, w)
     init = jnp.where(fg, lin, _BIG)
-
-    def neighbor_min(lbl):
-        p = jnp.pad(lbl, 1, constant_values=_BIG)
-        m = jnp.minimum(
-            jnp.minimum(p[:-2, 1:-1], p[2:, 1:-1]),
-            jnp.minimum(p[1:-1, :-2], p[1:-1, 2:]),
-        )
-        return jnp.where(fg, jnp.minimum(lbl, m), _BIG)
 
     def pointer_jump(lbl):
         flat = lbl.reshape(-1)
@@ -49,7 +69,9 @@ def _label_single(fg: jax.Array, max_iters: int) -> jax.Array:
 
     def body(state):
         lbl, _, it = state
-        new = pointer_jump(neighbor_min(lbl))
+        new = _segmented_run_min(lbl, fg, axis=1)
+        new = _segmented_run_min(new, fg, axis=0)
+        new = lax.cond(it % 4 == 3, pointer_jump, lambda x: x, new)
         return new, jnp.any(new != lbl), it + 1
 
     def cond(state):

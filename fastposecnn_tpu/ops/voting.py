@@ -59,21 +59,25 @@ def sample_mask_points(
     inst_masks: jax.Array,  # [B, N, H, W] binary
     xy_dense: jax.Array,  # [B, H, W, 2] unit-vector field
     max_points: int,
-) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Sample P pixels per instance (with replacement) and their vectors.
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Sample up to P distinct mask pixels per instance and their vectors.
 
-    Returns pts [B, N, P, 2] in (x, y) pixel coords, dirs [B, N, P, 2],
-    npts [B, N] (foreground pixel count, before sampling).
+    Random-priority top_k: one uniform per pixel, keep the P highest inside
+    the mask — uniform sampling *without replacement*, like the reference's
+    Bernoulli thinning to max_num (ransac_voting_gpu.py:541-545), with
+    static shapes. (A categorical draw per sample point would make XLA
+    reduce a [B, N, P, HW] gumbel tensor — O(5e9) ops at 480p.)
+
+    Returns pts [B, N, P, 2] (x, y), dirs [B, N, P, 2],
+    npts [B, N] (foreground pixel count), pt_valid [B, N, P].
     """
     b, n, h, w = inst_masks.shape
     flat = inst_masks.reshape(b, n, h * w)
     npts = jnp.sum(flat, axis=-1)
-    logits = jnp.where(flat > 0, 0.0, -jnp.inf)
-    # Guard empty masks (all -inf would poison categorical).
-    logits = jnp.where(npts[..., None] > 0, logits, 0.0)
-    idx = jax.random.categorical(
-        key, logits[..., None, :], axis=-1, shape=(b, n, max_points)
-    )
+    priority = jax.random.uniform(key, (b, n, h * w), minval=0.1, maxval=1.0)
+    priority = priority * flat  # background -> 0
+    top_p, idx = lax.top_k(priority, max_points)
+    pt_valid = top_p > 0.0
     x = (idx % w).astype(jnp.float32)
     y = (idx // w).astype(jnp.float32)
     pts = jnp.stack([x, y], axis=-1)
@@ -81,7 +85,8 @@ def sample_mask_points(
     dirs = jnp.take_along_axis(
         jnp.broadcast_to(dirs_flat, (b, n, h * w, 2)), idx[..., None], axis=2
     )
-    return pts, dirs, npts
+    zero = pt_valid[..., None].astype(pts.dtype)
+    return pts * zero, dirs * zero, npts, pt_valid
 
 
 # -----------------------------------------------------------------------------
@@ -342,6 +347,7 @@ def ransac_vote_centers(
     confidence: float = 0.99,
     max_iter: int = 20,
     min_num: int = 5,
+    pt_valid: Optional[jax.Array] = None,  # [M, P] per-point validity
     use_pallas: Optional[bool] = None,
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
@@ -352,15 +358,15 @@ def ransac_vote_centers(
     """
     m, p, _ = pts.shape
     active = active & (npts >= min_num)
-    pvalid = jnp.broadcast_to(active[:, None], (m, p)).astype(jnp.float32)
-    denom = jnp.maximum(npts.astype(jnp.float32), 1.0)
-    # The reference divides counts by tn (points after downsample); ours is
-    # the fixed sample size P.
-    count_denom = jnp.full((m,), float(p))
+    if pt_valid is None:
+        pt_valid = jnp.ones((m, p), bool)
+    pvalid = (pt_valid & active[:, None]).astype(jnp.float32)
+    # The reference divides counts by tn, its sampled point count
+    # (ransac_voting_gpu.py:566).
+    count_denom = jnp.maximum(jnp.sum(pvalid, axis=-1), 1.0)
 
     s_pts = lax.stop_gradient(pts)
     s_dirs = lax.stop_gradient(dirs)
-    del denom
 
     def round_body(state):
         k, best_pts, best_ratio, it = state
@@ -418,7 +424,7 @@ def hough_vote(
     """
     b, n = agg["valid"].shape
     k_sample, k_vote = jax.random.split(key)
-    pts, dirs, npts = sample_mask_points(
+    pts, dirs, npts, pt_valid = sample_mask_points(
         k_sample, agg["instance_masks"], agg["xy_dense"], max_points
     )
     m = b * n
@@ -432,6 +438,7 @@ def hough_vote(
         inlier_thresh=inlier_thresh,
         confidence=confidence,
         max_iter=max_iter,
+        pt_valid=pt_valid.reshape(m, max_points),
         use_pallas=use_pallas,
         interpret=interpret,
     )

@@ -98,7 +98,7 @@ class TestRansacCenter:
         center = (11.0, 8.0)
         mask, field = make_instance(center=center)
         key = jax.random.key(0)
-        pts, dirs, npts = sample_mask_points(
+        pts, dirs, npts, ptv = sample_mask_points(
             key,
             jnp.asarray(mask)[None, None],
             jnp.asarray(field)[None],
@@ -119,7 +119,7 @@ class TestRansacCenter:
         center = (15.0, 9.0)
         mask, field = make_instance(h=32, w=32, center=center)
         field = field + rng.normal(size=field.shape).astype(np.float32) * 0.02
-        pts, dirs, npts = sample_mask_points(
+        pts, dirs, npts, ptv = sample_mask_points(
             jax.random.key(2),
             jnp.asarray(mask)[None, None],
             jnp.asarray(field)[None],
@@ -139,7 +139,7 @@ class TestRansacCenter:
         mask = np.zeros((16, 16), np.float32)
         mask[3, 3] = 1.0  # below min_num
         field = perfect_field(16, 16, (8.0, 8.0))
-        pts, dirs, npts = sample_mask_points(
+        pts, dirs, npts, ptv = sample_mask_points(
             jax.random.key(0),
             jnp.asarray(mask)[None, None],
             jnp.asarray(field)[None],
@@ -157,7 +157,7 @@ class TestRansacCenter:
     def test_gradient_flows_through_refinement(self):
         center = (11.0, 8.0)
         mask, field = make_instance(center=center)
-        pts, dirs, npts = sample_mask_points(
+        pts, dirs, npts, ptv = sample_mask_points(
             jax.random.key(0),
             jnp.asarray(mask)[None, None],
             jnp.asarray(field)[None],
