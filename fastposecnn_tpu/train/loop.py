@@ -79,6 +79,68 @@ def _pad_batch(batch, batch_size):
     return out, n
 
 
+def log_epoch_visualizations(
+    logger: RunLogger,
+    out,
+    batch,
+    hp: HParams,
+    epoch: int,
+    run_dir: pathlib.Path,
+    num_samples: int = 3,
+):
+    """Per-epoch qualitative figures into TB + PNGs.
+
+    Parity: FPC/callbacks.py:262-523 (TensorboardCallback epoch-end
+    visualization of a few validation samples: mask comparison, hough
+    voting, pose boxes)."""
+    from fastposecnn_tpu import constants
+    from fastposecnn_tpu.utils import visualize as vz
+
+    intr = constants.INTRINSICS[hp.DATASET_NAME]
+    agg = out.get("aggregated")
+    n = min(num_samples, batch["image"].shape[0])
+    viz_dir = run_dir / "visualizations"
+    viz_dir.mkdir(exist_ok=True)
+    for i in range(n):
+        img = vz.denormalize_image(np.asarray(batch["image"][i]))
+        panels = {
+            "rgb": img,
+            "gt_mask": vz.colorize_mask(np.asarray(batch["mask"][i]),
+                                        hp.num_classes),
+            "pred_mask": vz.colorize_mask(
+                np.asarray(out["categorical"]["mask"][i]), hp.num_classes
+            ),
+        }
+        if agg is not None and "xy" in agg:
+            panels["hough"] = vz.visualize_hypothesis(
+                img, np.asarray(agg["xy"][i]), np.asarray(agg["valid"][i]),
+                gt_centers=np.asarray(batch["agg"]["xy"][i]),
+            )
+        if agg is not None and "RT" in agg:
+            panels["pose"] = vz.compare_pose_performance(
+                img,
+                np.asarray(batch["agg"]["RT"][i]),
+                np.asarray(batch["agg"]["scales"][i]),
+                np.asarray(agg["RT"][i]),
+                np.asarray(agg["scales"][i]),
+                np.asarray(batch["agg"]["valid"][i])
+                & np.asarray(agg["valid"][i]),
+                intr,
+            )
+        fig = vz.make_summary_figure(**panels)
+        arr = vz.figure_to_array(fig)
+        logger.log_image("valid", f"epoch_viz/sample_{i}", arr / 255.0, epoch)
+        import matplotlib.pyplot as plt
+
+        try:
+            import PIL.Image as PILImage
+
+            PILImage.fromarray(arr).save(viz_dir / f"epoch{epoch}_s{i}.png")
+        except Exception:
+            pass
+        plt.close("all")
+
+
 def fit(
     hp: HParams,
     train_loader,
@@ -89,6 +151,7 @@ def fit(
     enable_tb: bool = True,
     num_epochs: Optional[int] = None,
     resume_from: Optional[str] = None,
+    visualize_every: int = 1,
 ):
     """Two-generic-stage trainer used by cli/train.py. Returns final state."""
     run_dir = run_dir or make_run_dir(hp)
@@ -137,14 +200,27 @@ def fit(
         # ---- validate ----
         bank = M.init_pose_metric_bank()
         val_losses = []
+        viz_done = False
         for bi, batch in enumerate(valid_loader):
             if batch is None:
                 continue
             batch, _ = _pad_batch(batch, hp.BATCH_SIZE)
             db = _to_device_batch(batch, mesh)
-            logs, bank, _ = eval_step(state, db, jax.random.key(epoch), bank)
+            logs, bank, out = eval_step(state, db, jax.random.key(epoch), bank)
             val_losses.append(float(logs["pose/total_loss"]))
             logger.log_metrics("valid", logs, int(state.step))
+            if (
+                not viz_done
+                and visualize_every
+                and epoch % visualize_every == 0
+            ):
+                try:
+                    log_epoch_visualizations(
+                        logger, jax.device_get(out), batch, hp, epoch, run_dir
+                    )
+                except Exception as e:  # viz must never kill training
+                    print(f"visualization failed: {e}")
+                viz_done = True
         pose_vals = {
             f"pose/{k}": float(v)
             for k, v in M.compute_pose_metric_bank(bank).items()
