@@ -1,0 +1,150 @@
+"""Loss-function golden tests vs independent torch/numpy implementations of
+the reference formulas (FPC/lib/loss.py)."""
+
+import jax.numpy as jnp
+import numpy as np
+import torch
+
+from fastposecnn_tpu import losses as L
+
+
+def matched_payload(gt_q, pred_q, sym, valid=None, **extra):
+    g = np.asarray(gt_q).shape[0]
+    out = {
+        "valid": jnp.asarray([True] * g if valid is None else valid)[None],
+        "symmetric_ids": jnp.asarray(sym, jnp.int32)[None],
+        "class_ids": jnp.ones((1, g), jnp.int32),
+        "gt_quaternion": jnp.asarray(gt_q, jnp.float32)[None],
+        "pred_quaternion": jnp.asarray(pred_q, jnp.float32)[None],
+    }
+    for k, v in extra.items():
+        out[k] = jnp.asarray(v, jnp.float32)[None]
+    return out
+
+
+class TestCrossEntropy:
+    def test_matches_torch(self, rng):
+        logits = rng.normal(size=(2, 8, 8, 5)).astype(np.float32)
+        gt = rng.integers(0, 5, size=(2, 8, 8))
+        ours = float(L.cross_entropy(jnp.asarray(logits), jnp.asarray(gt)))
+        ref = torch.nn.CrossEntropyLoss()(
+            torch.from_numpy(logits).permute(0, 3, 1, 2),
+            torch.from_numpy(gt),
+        ).item()
+        np.testing.assert_allclose(ours, ref, rtol=1e-5)
+
+
+class TestFocal:
+    def test_matches_reference_composition(self, rng):
+        """The reference feeds log-softmax outputs through a per-class
+        sigmoid binary focal (pytorch_toolbelt), alpha=0.5 gamma=2."""
+        logits = rng.normal(size=(1, 4, 4, 3)).astype(np.float32)
+        gt = rng.integers(0, 3, size=(1, 4, 4))
+        ours = float(L.focal_loss(jnp.asarray(logits), jnp.asarray(gt)))
+
+        x = torch.from_numpy(logits).permute(0, 3, 1, 2)
+        logp = torch.log_softmax(x, dim=1)
+        total = 0.0
+        alpha, gamma = 0.5, 2.0
+        for cls in range(3):
+            t = (torch.from_numpy(gt) == cls).float()
+            inp = logp[:, cls]
+            logpt = -torch.nn.functional.binary_cross_entropy_with_logits(
+                inp, t, reduction="none"
+            )
+            pt = torch.exp(logpt)
+            focal = (1 - pt).pow(gamma) * (-logpt)
+            focal = focal * (alpha * t + (1 - alpha) * (1 - t))
+            total += focal.mean().item()
+        np.testing.assert_allclose(ours, total, rtol=1e-4)
+
+
+class TestQuaternionLoss:
+    def test_plain_formula(self):
+        gt = np.asarray([[0.0, 0, 0, 1.0], [1.0, 0, 0, 0]])
+        pred = np.asarray([[0.0, 0, 0, 1.0], [0.0, 1, 0, 0]])
+        m = matched_payload(gt, pred, sym=[0, 0])
+        val, has = L.quaternion_loss(m)
+        # dot=1 -> log(0+eps)-log(eps)=0 ; dot=0 -> log(1+eps)-log(eps)
+        expect = 0.5 * (0 + (np.log(1.1) - np.log(0.1)))
+        np.testing.assert_allclose(float(val), expect, rtol=1e-5)
+        assert float(has) == 1.0
+
+    def test_symmetric_y_rotation_is_free(self):
+        # A pure y-rotation of the gt (in the reference's wxyz layout) must
+        # incur ~zero loss for symmetric instances but not for plain ones.
+        from fastposecnn_tpu import geometry
+
+        base = np.asarray([[0.3, 0.5, -0.2, 0.79]], np.float32)
+        base /= np.linalg.norm(base)
+        half = np.deg2rad(77.0) / 2
+        rot = np.asarray([np.cos(half), 0, np.sin(half), 0], np.float32)
+        rotated = np.asarray(
+            geometry.quat_multiply_wxyz(jnp.asarray(base[0]), jnp.asarray(rot))
+        )[None]
+        m_sym = matched_payload(base, rotated, sym=[1])
+        val_sym, _ = L.quaternion_loss(m_sym)
+        assert float(val_sym) < 5e-3
+        m_plain = matched_payload(base, rotated, sym=[0])
+        val_plain, _ = L.quaternion_loss(m_plain)
+        assert float(val_plain) > 0.1
+
+    def test_empty_matches(self):
+        m = matched_payload(
+            np.zeros((2, 4)), np.zeros((2, 4)), sym=[0, 0],
+            valid=[False, False],
+        )
+        val, has = L.quaternion_loss(m)
+        assert float(has) == 0.0
+        assert np.isfinite(float(val))
+
+
+class TestRegressionLosses:
+    def test_xy_per_coordinate_sum(self):
+        m = matched_payload(
+            np.zeros((2, 4)), np.zeros((2, 4)), sym=[0, 0],
+            gt_xy=[[10.0, 20.0], [30.0, 40.0]],
+            pred_xy=[[11.0, 18.0], [33.0, 44.0]],
+        )
+        val, _ = L.xy_loss(m, "L1")
+        # mean(|dx|) + mean(|dy|) = (1+3)/2 + (2+4)/2 = 5
+        np.testing.assert_allclose(float(val), 5.0, rtol=1e-6)
+
+    def test_z_log_space(self):
+        m = matched_payload(
+            np.zeros((1, 4)), np.zeros((1, 4)), sym=[0],
+            gt_z=[1000.0], pred_z=[np.e * 1000.0],
+        )
+        val, _ = L.z_loss(m, "L1")
+        np.testing.assert_allclose(float(val), 1.0, rtol=1e-5)
+
+    def test_smooth_l1(self):
+        m = matched_payload(
+            np.zeros((1, 4)), np.zeros((1, 4)), sym=[0],
+            gt_scales=[[0.0, 0.0, 0.0]], pred_scales=[[0.5, 2.0, 0.0]],
+        )
+        val, _ = L.scales_loss(m, "SmoothL1")
+        np.testing.assert_allclose(float(val), 0.125 + 1.5, rtol=1e-6)
+
+    def test_rotation_geodesic(self):
+        # 90-degree rotation about z
+        Rz = np.asarray([[0, -1, 0], [1, 0, 0], [0, 0, 1]], np.float32)
+        m = matched_payload(
+            np.zeros((1, 4)), np.zeros((1, 4)), sym=[0],
+            gt_R=[np.eye(3)], pred_R=[Rz],
+        )
+        val, _ = L.rotation_matrix_loss(m)
+        np.testing.assert_allclose(float(val), np.pi / 2, rtol=1e-4)
+
+
+class TestMaskedMSE:
+    def test_masks_prediction_outside_fg(self, rng):
+        pred = rng.normal(size=(1, 4, 4, 2)).astype(np.float32)
+        gt = rng.normal(size=(1, 4, 4, 2)).astype(np.float32)
+        cat = np.zeros((1, 4, 4), np.int32)
+        cat[0, :2] = 1
+        val, has = L.masked_mse(jnp.asarray(pred), jnp.asarray(gt), jnp.asarray(cat))
+        fg = np.repeat((cat != 0)[..., None], 2, -1)
+        expect = np.mean((pred * fg - gt) ** 2)
+        np.testing.assert_allclose(float(val), expect, rtol=1e-5)
+        assert float(has) == 1.0
