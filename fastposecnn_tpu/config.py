@@ -93,6 +93,7 @@ class HParams:
 
     # Hough voting (FPC/config.py:90-105)
     HV_NUM_OF_HYPOTHESES: int = 128
+    HV_ADAPTIVE: bool = True  # False: single fixed-budget vote (TPU serving)
     HV_HYPOTHESIS_IN_MASK_MULTIPLIER: int = 3
     PRUN_METHOD: str = "iqr"
     PRUN_OUTLIER_DROP: bool = False
@@ -188,7 +189,12 @@ def evaluating(**overrides) -> HParams:
 def inference(**overrides) -> HParams:
     """Real-time inference preset (FPC/config.py:147-160)."""
     base = dict(
-        HV_NUM_OF_HYPOTHESES=1000,
+        # TPU serving mode: one fixed 4096-hypothesis vote instead of the
+        # adaptive loop (quality >= the loop's typical confident-exit budget
+        # of 1000; deterministic latency). EVALUATING keeps the adaptive
+        # reference behavior for parity evals.
+        HV_NUM_OF_HYPOTHESES=4096,
+        HV_ADAPTIVE=False,
         BATCH_SIZE=1,
         VALID_SIZE=100,
         TRAIN_SIZE=1,
@@ -263,5 +269,6 @@ def pipeline_config_from(hp: HParams, use_pallas=None):
         max_instances=hp.MAX_INSTANCES,
         max_points=hp.MAX_VOTE_POINTS,
         hv_num_hypotheses=hp.HV_NUM_OF_HYPOTHESES,
+        hv_adaptive=hp.HV_ADAPTIVE,
         use_pallas=use_pallas,
     )

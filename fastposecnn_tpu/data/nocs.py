@@ -251,6 +251,13 @@ class NOCSDataset:
         }
 
 
+    def get_random_batched_sample(self, batch_size: int = 1, seed: int = 0):
+        """Random collated batch (FPC/tools/dataset.py:359-371)."""
+        rng = np.random.default_rng(seed)
+        idx = rng.choice(len(self), size=batch_size, replace=False)
+        return collate([self[int(i)] for i in idx])
+
+
 class CAMERADataset(NOCSDataset):
     def __init__(self, dataset_dir, **kw):
         super().__init__(dataset_dir, dataset_name="CAMERA", **kw)

@@ -117,24 +117,10 @@ def sample_mask_points(
 # Hypothesis generation (batched closed-form 2-line intersection)
 
 
-def generate_hypotheses(
-    key: jax.Array,
-    pts: jax.Array,  # [M, P, 2]
-    dirs: jax.Array,  # [M, P, 2]
-    num_hyp: int,
-) -> jax.Array:
-    """[M, num_hyp, 2] candidate centers.
-
-    Normal-form intersection of the two sampled rays, mirroring
+def _intersect_pairs(p0, d0, p1, d1):
+    """Normal-form intersection of ray pairs, mirroring
     ransac_voting_kernel.cu:11-86: n_i = (d_i.y, -d_i.x), solve
-    [n0; n1] x = [n0.p0; n1.p1]; |det| < 1e-6 -> (0, 0).
-    """
-    m, p, _ = pts.shape
-    idx = jax.random.randint(key, (m, num_hyp, 2), 0, p)
-    p0 = jnp.take_along_axis(pts, idx[..., 0:1], axis=1)
-    p1 = jnp.take_along_axis(pts, idx[..., 1:2], axis=1)
-    d0 = jnp.take_along_axis(dirs, idx[..., 0:1], axis=1)
-    d1 = jnp.take_along_axis(dirs, idx[..., 1:2], axis=1)
+    [n0; n1] x = [n0.p0; n1.p1]; |det| < 1e-6 -> (0, 0)."""
     n0 = jnp.stack([d0[..., 1], -d0[..., 0]], axis=-1)
     n1 = jnp.stack([d1[..., 1], -d1[..., 0]], axis=-1)
     b0 = jnp.sum(n0 * p0, axis=-1)
@@ -144,9 +130,47 @@ def generate_hypotheses(
     hx = (b0 * n1[..., 1] - b1 * n0[..., 1]) / safe_det
     hy = (b1 * n0[..., 0] - b0 * n1[..., 0]) / safe_det
     hyp = jnp.stack([hx, hy], axis=-1)
-    return jnp.where(
-        (jnp.abs(det) < _DEGENERATE_EPS)[..., None], 0.0, hyp
-    )
+    return jnp.where((jnp.abs(det) < _DEGENERATE_EPS)[..., None], 0.0, hyp)
+
+
+def generate_hypotheses(
+    key: jax.Array,
+    pts: jax.Array,  # [M, P, 2]
+    dirs: jax.Array,  # [M, P, 2]
+    num_hyp: int,
+) -> jax.Array:
+    """[M, num_hyp, 2] candidate centers from random point pairs (gathers)."""
+    m, p, _ = pts.shape
+    idx = jax.random.randint(key, (m, num_hyp, 2), 0, p)
+    p0 = jnp.take_along_axis(pts, idx[..., 0:1], axis=1)
+    p1 = jnp.take_along_axis(pts, idx[..., 1:2], axis=1)
+    d0 = jnp.take_along_axis(dirs, idx[..., 0:1], axis=1)
+    d1 = jnp.take_along_axis(dirs, idx[..., 1:2], axis=1)
+    return _intersect_pairs(p0, d0, p1, d1)
+
+
+def generate_hypotheses_rolled(
+    key: jax.Array,
+    pts: jax.Array,  # [M, P, 2]
+    dirs: jax.Array,  # [M, P, 2]
+    num_hyp: int,
+) -> jax.Array:
+    """Gather-free pairing: pair pts[i] with roll(pts, s_c)[i].
+
+    Valid because the P sampled points are already in iid random order
+    (inverse-CDF draws), so fixed-offset pairs are uniform random pairs.
+    TPU gathers made the take_along_axis variant ~2.5 ms/round; rolls are
+    free. num_hyp must be a multiple of P (chunks of rolled pairings).
+    """
+    m, p, _ = pts.shape
+    n_chunks = max(1, -(-num_hyp // p))
+    shifts = jax.random.randint(key, (n_chunks,), 1, p)
+    hyps = []
+    for c in range(n_chunks):
+        p1 = jnp.roll(pts, shifts[c], axis=1)
+        d1 = jnp.roll(dirs, shifts[c], axis=1)
+        hyps.append(_intersect_pairs(pts, dirs, p1, d1))
+    return jnp.concatenate(hyps, axis=1)[:, :num_hyp]
 
 
 # -----------------------------------------------------------------------------
@@ -372,6 +396,7 @@ def ransac_vote_centers(
     max_iter: int = 20,
     min_num: int = 5,
     pt_valid: Optional[jax.Array] = None,  # [M, P] per-point validity
+    adaptive: bool = True,
     use_pallas: Optional[bool] = None,
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
@@ -379,6 +404,14 @@ def ransac_vote_centers(
 
     Instances with fewer than `min_num` foreground pixels produce (0, 0)
     centers (ransac_voting_gpu.py:535-539).
+
+    `adaptive=True` reproduces the reference's confidence-driven round loop
+    (up to max_iter x round_hyp_num hypotheses). `adaptive=False` is the
+    TPU serving mode: ONE vote over `round_hyp_num` hypotheses generated
+    gather-free — on TPU a single big kernel call costs about the same as
+    one small round, so fixed-budget voting beats the loop whenever the
+    loop would run more than one round; set round_hyp_num ~4x higher to
+    dominate the adaptive path's typical budget.
     """
     m, p, _ = pts.shape
     active = active & (npts >= min_num)
@@ -391,6 +424,22 @@ def ransac_vote_centers(
 
     s_pts = lax.stop_gradient(pts)
     s_dirs = lax.stop_gradient(dirs)
+
+    if not adaptive:
+        hyps = generate_hypotheses_rolled(key, s_pts, s_dirs, round_hyp_num)
+        counts = vote_counts(
+            hyps, s_pts, s_dirs, pvalid, inlier_thresh,
+            use_pallas=use_pallas, interpret=interpret,
+        )
+        win_idx = jnp.argmax(counts, axis=-1)
+        best_pts = jnp.take_along_axis(hyps, win_idx[:, None, None], axis=1)[:, 0]
+        best_ratio = (
+            jnp.take_along_axis(counts, win_idx[:, None], axis=1)[:, 0]
+            / count_denom
+        )
+        centers = refine_centers(best_pts, pts, dirs, pvalid, inlier_thresh)
+        centers = jnp.where(active[:, None], centers, 0.0)
+        return centers, best_ratio
 
     def round_body(state):
         k, best_pts, best_ratio, it = state
@@ -437,6 +486,7 @@ def hough_vote(
     inlier_thresh: float = 0.999,
     confidence: float = 0.99,
     max_iter: int = 20,
+    adaptive: bool = True,
     use_pallas: Optional[bool] = None,
     interpret: bool = False,
 ) -> dict:
@@ -463,6 +513,7 @@ def hough_vote(
         confidence=confidence,
         max_iter=max_iter,
         pt_valid=pt_valid.reshape(m, max_points),
+        adaptive=adaptive,
         use_pallas=use_pallas,
         interpret=interpret,
     )

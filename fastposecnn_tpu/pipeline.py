@@ -34,6 +34,7 @@ class PipelineConfig:
     hv_inlier_thresh: float = 0.999
     hv_confidence: float = 0.99
     hv_max_iter: int = 20
+    hv_adaptive: bool = True  # False = one fixed-budget vote (TPU serving mode)
     cc_max_iters: int = 64
     use_pallas: Optional[bool] = None  # None -> auto (TPU yes, CPU no)
 
@@ -67,6 +68,7 @@ def run_pipeline(
                 inlier_thresh=config.hv_inlier_thresh,
                 confidence=config.hv_confidence,
                 max_iter=config.hv_max_iter,
+                adaptive=config.hv_adaptive,
                 use_pallas=config.use_pallas,
             )
             if config.perform_rt_calculation:

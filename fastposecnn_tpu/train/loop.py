@@ -186,15 +186,30 @@ def fit(
 
     for epoch in range(num_epochs or hp.NUM_EPOCHS):
         # ---- train ----
+        import time as _time
+
+        epoch_t0 = _time.perf_counter()
+        n_images = 0
         for bi, batch in enumerate(train_loader):
             if batch is None:  # all samples rejected (dataset.py:456-460)
                 continue
-            batch, _ = _pad_batch(batch, hp.BATCH_SIZE)
+            batch, n_real = _pad_batch(batch, hp.BATCH_SIZE)
             db = _to_device_batch(batch, mesh)
             state, logs = train_step(state, db, rng)
+            n_images += n_real
             logger.log_metrics(
                 "train", {k: v for k, v in logs.items()}, int(state.step)
             )
+        dt = _time.perf_counter() - epoch_t0
+        logger.log_metrics(
+            "train",
+            {
+                "throughput/images_per_s": n_images / max(dt, 1e-9),
+                "optim/lr_scale": float(plateau.scale),
+            },
+            int(state.step),
+            accumulate=False,
+        )
         logger.log_epoch_average("train", epoch)
 
         # ---- validate ----
