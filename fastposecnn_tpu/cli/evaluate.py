@@ -68,8 +68,6 @@ def collect_raw_errors(hp, valid_loader, state, net, pcfg, inv_K):
         valid = matched["valid"][:n_real]
         cls = matched["class_ids"][:n_real]
         # f64 error math on host for metric parity
-        import jax.numpy as jnp64
-
         gt_q = matched["gt_quaternion"][:n_real].astype(np.float64)
         pr_q = matched["pred_quaternion"][:n_real].astype(np.float64)
         deg = np.asarray(

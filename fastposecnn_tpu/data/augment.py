@@ -18,7 +18,6 @@ image.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 import numpy as np
 
@@ -37,8 +36,6 @@ class AugmentConfig:
 
 
 def _rgb_to_hsv(img):
-    import colorsys  # noqa: F401  (vectorized below instead)
-
     maxc = img.max(-1)
     minc = img.min(-1)
     v = maxc

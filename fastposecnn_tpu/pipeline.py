@@ -13,7 +13,6 @@ import dataclasses
 from typing import Any, Dict, Optional
 
 import jax
-import jax.numpy as jnp
 
 from fastposecnn_tpu import geometry
 from fastposecnn_tpu.ops.aggregation import aggregate_instances

@@ -158,6 +158,17 @@ def fit(
     hp.save(run_dir / "HPARAM.json")  # FPC/train.py:277-278
     logger = RunLogger(run_dir, enabled=enable_tb)
 
+    # Named file logger into the run dir (FPC/train.py:83-91 'fastposecnn'
+    # logger -> run.log).
+    import logging
+
+    flog = logging.getLogger("fastposecnn_tpu")
+    flog.setLevel(logging.INFO)
+    fh = logging.FileHandler(run_dir / "run.log")
+    fh.setFormatter(logging.Formatter("%(asctime)s %(levelname)s %(message)s"))
+    flog.addHandler(fh)
+    flog.info("hparams: %s", hp.to_json().replace("\n", " "))
+
     if mesh is None and len(jax.devices()) > 1 and hp.NUM_DEVICES > 1:
         mesh = make_mesh(hp.NUM_DEVICES)
 
@@ -256,12 +267,14 @@ def fit(
             ckpt.save_checkpoint(ckpt_dir / "best", int(state.step), state, hp)
         if (epoch + 1) % hp.CKPT_SAVE_FREQUENCY == 0:
             ckpt.save_checkpoint(ckpt_dir / "periodic", int(state.step), state, hp)
-        print(
+        msg = (
             f"epoch {epoch}: val_loss={val_loss:.4f} "
             f"lr_scale={float(plateau.scale):.4f} "
             f"skipped={int(jax.device_get(state.skipped_updates))} "
             + " ".join(f"{k.split('/')[-1]}={v:.2f}" for k, v in pose_vals.items())
         )
+        print(msg)
+        flog.info(msg)
 
     ckpt.save_checkpoint(ckpt_dir / "last", int(state.step), state, hp)
     logger.log_hparams(dataclasses.asdict(hp), {"best_val_loss": best_val})

@@ -17,7 +17,7 @@ gradients of frozen top-level modules — equivalent to requires_grad=False.
 
 from __future__ import annotations
 
-from typing import Any, NamedTuple, Optional
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp

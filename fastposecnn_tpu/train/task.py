@@ -19,8 +19,6 @@ host-side epoch loop lives in train/loop.py.
 
 from __future__ import annotations
 
-import dataclasses
-import functools
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import collections
 import pathlib
-from typing import Dict, Optional
+from typing import Dict
 
 
 class RunLogger:
