@@ -117,33 +117,56 @@ def _frozen_module_names(hp: HParams) -> set:
 
 
 def freeze_mask_fn(hp: HParams):
-    """Returns f(params) -> pytree of 0.0/1.0 multipliers per leaf."""
+    """Returns f(params) -> pytree of per-leaf update multipliers.
+
+    0.0 for frozen modules; ENCODER_LEARNING_RATE/LEARNING_RATE for the
+    encoder (the reference declares the field, FPC/config.py:58, but its
+    optimizer never applies it — here it works); 1.0 otherwise.
+    """
     frozen = _frozen_module_names(hp)
+    enc_ratio = (
+        hp.ENCODER_LEARNING_RATE / hp.LEARNING_RATE
+        if hp.LEARNING_RATE > 0
+        else 1.0
+    )
 
     def build(params):
         def per_module(path, leaf):
             top = path[0].key if hasattr(path[0], "key") else str(path[0])
-            return jnp.zeros(()) if top in frozen else jnp.ones(())
+            if top in frozen:
+                return jnp.zeros(())
+            if top == "encoder":
+                return jnp.asarray(enc_ratio, jnp.float32)
+            return jnp.ones(())
 
         return jax.tree_util.tree_map_with_path(per_module, params)
 
     return build
 
 
+def _module_multiplier_transform(builder):
+    def init(params):
+        return builder(params)
+
+    def update(updates, state, params=None):
+        return jax.tree.map(lambda u, m: u * m, updates, state), state
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_optimizer(hp: HParams) -> optax.GradientTransformation:
-    """The full chain. LR sign handling comes from optax.scale_by_learning_rate
-    inside radam; the plateau scale is injected via `inject_hyperparams` so
-    `opt_state.hyperparams['lr_scale']` can be updated between epochs."""
-    freeze_builder = freeze_mask_fn(hp)
-
-    def freeze_transform():
-        def init(params):
-            return freeze_builder(params)
-
-        def update(updates, state, params=None):
-            return jax.tree.map(lambda u, m: u * m, updates, state), state
-
-        return optax.GradientTransformation(init, update)
+    """The full chain. Ordering matters:
+    - freezing (x0) runs BEFORE the global-norm clip so frozen modules'
+      gradients don't inflate the clip norm (PL clips trainable grads only);
+    - the per-module LR ratio runs AFTER radam's moment normalization
+      (applied before, Adam-style normalization would cancel it);
+    - the plateau scale is injected via `inject_hyperparams` so
+      `opt_state.hyperparams['lr_scale']` can be updated between epochs.
+    """
+    freeze_builder = freeze_mask_fn(
+        dataclasses_replace_lr(hp, 1.0)
+    )  # 0/1 only (ratio handled below)
+    ratio_builder = freeze_mask_fn(hp)
 
     @optax.inject_hyperparams
     def chain(lr_scale):
@@ -151,13 +174,25 @@ def make_optimizer(hp: HParams) -> optax.GradientTransformation:
             optax.clip_by_global_norm(hp.GRADIENT_CLIP_VAL),
             optax.scale_by_radam(),
             optax.add_decayed_weights(hp.WEIGHT_DECAY),
+            _module_multiplier_transform(ratio_builder),
             optax.scale(-hp.LEARNING_RATE),
             optax.scale(lr_scale),
             lookahead(sync_period=5, slow_step_size=0.5),
         )
 
     base = chain(lr_scale=1.0)
-    return optax.chain(freeze_transform(), base)
+    return optax.chain(
+        _module_multiplier_transform(freeze_builder), base
+    )
+
+
+def dataclasses_replace_lr(hp: HParams, ratio_to: float) -> HParams:
+    """HParams copy whose encoder ratio is 1 (freeze mask only)."""
+    import dataclasses
+
+    return dataclasses.replace(
+        hp, ENCODER_LEARNING_RATE=hp.LEARNING_RATE * ratio_to
+    )
 
 
 def set_lr_scale(opt_state, scale):

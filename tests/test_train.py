@@ -143,3 +143,42 @@ class TestOptim:
         p2 = jax.tree.map(lambda p, u: p + u, p1, u2)
         # after sync: slow = 1.0 + 0.5*(1.2-1.0) = 1.1
         np.testing.assert_allclose(np.asarray(p2["w"]), 1.1, rtol=1e-6)
+
+
+class TestEncoderLR:
+    def test_encoder_updates_scaled(self, rng):
+        """Encoder updates must be ~ENCODER_LR/LR of an equivalent run."""
+        import jax.numpy as jnp
+        from fastposecnn_tpu.train import optim as O
+
+        hp_full = tiny_setup()[0]
+        hp_half = dataclasses.replace(
+            hp_full, ENCODER_LEARNING_RATE=hp_full.LEARNING_RATE * 0.5
+        )
+        hp_eq = dataclasses.replace(
+            hp_full, ENCODER_LEARNING_RATE=hp_full.LEARNING_RATE
+        )
+        params = {
+            "encoder": {"w": jnp.ones((4,))},
+            "mask_head": {"w": jnp.ones((4,))},
+        }
+        grads = jax.tree.map(lambda p: jnp.full_like(p, 0.3), params)
+
+        def one_update(hp):
+            opt = O.make_optimizer(hp)
+            st = opt.init(params)
+            upd, _ = opt.update(grads, st, params)
+            return upd
+
+        u_half = one_update(hp_half)
+        u_eq = one_update(hp_eq)
+        np.testing.assert_allclose(
+            np.asarray(u_half["encoder"]["w"]),
+            0.5 * np.asarray(u_eq["encoder"]["w"]),
+            rtol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(u_half["mask_head"]["w"]),
+            np.asarray(u_eq["mask_head"]["w"]),
+            rtol=1e-6,
+        )
