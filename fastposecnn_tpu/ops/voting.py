@@ -113,6 +113,64 @@ def sample_mask_points(
     return pts * zero, dirs * zero, npts, pt_valid
 
 
+def sample_mask_points_bbox(
+    key: jax.Array,
+    inst_masks: jax.Array,  # [B, N, H, W] binary
+    xy_dense: jax.Array,  # [B, H, W, 2] unit-vector field
+    max_points: int,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Rejection sampling from each instance's bounding box.
+
+    One uniform (x, y) draw per point inside the instance bbox; points that
+    miss the mask are marked invalid (the voting stack is validity-aware,
+    and invalid directions are zero -> degenerate hypotheses, exactly like
+    the reference's det<1e-6 case). Conditional on validity the points are
+    uniform over the mask. Expected valid fraction = mask area / bbox area
+    (>=30-50% for real objects).
+
+    Why: the exact inverse-CDF sampler needs log2(HW)~19 rounds of gathers
+    from a [., HW] cdf; lane-dimension gathers dominate the whole pipeline
+    on TPU (~19 ms at 480p). This sampler needs ONE gather round (mask
+    lookup + direction lookup).
+    """
+    b, n, h, w = inst_masks.shape
+    hw = h * w
+    flat = inst_masks.reshape(b, n, hw)
+    npts = jnp.sum(flat, axis=-1)
+
+    xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1).reshape(hw)
+    ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0).reshape(hw)
+    big = jnp.float32(1e9)
+    x0 = jnp.min(jnp.where(flat > 0, xs, big), axis=-1)
+    x1 = jnp.max(jnp.where(flat > 0, xs, -big), axis=-1)
+    y0 = jnp.min(jnp.where(flat > 0, ys, big), axis=-1)
+    y1 = jnp.max(jnp.where(flat > 0, ys, -big), axis=-1)
+    empty = npts < 1
+    x0 = jnp.where(empty, 0.0, x0)
+    x1 = jnp.where(empty, 0.0, x1)
+    y0 = jnp.where(empty, 0.0, y0)
+    y1 = jnp.where(empty, 0.0, y1)
+
+    kx, ky = jax.random.split(key)
+    ux = jax.random.uniform(kx, (b, n, max_points), dtype=jnp.float32)
+    uy = jax.random.uniform(ky, (b, n, max_points), dtype=jnp.float32)
+    px = jnp.floor(x0[..., None] + ux * (x1 - x0 + 1.0)[..., None])
+    py = jnp.floor(y0[..., None] + uy * (y1 - y0 + 1.0)[..., None])
+    px = jnp.clip(px, 0, w - 1).astype(jnp.float32)
+    py = jnp.clip(py, 0, h - 1).astype(jnp.float32)
+    idx = (py * w + px).astype(jnp.int32)
+
+    on_mask = jnp.take_along_axis(flat, idx, axis=-1) > 0
+    pt_valid = on_mask & (npts > 0)[..., None]
+    pts = jnp.stack([px, py], axis=-1)
+    dirs_flat = xy_dense.reshape(b, 1, hw, 2)
+    dirs = jnp.take_along_axis(
+        jnp.broadcast_to(dirs_flat, (b, n, hw, 2)), idx[..., None], axis=2
+    )
+    zero = pt_valid[..., None].astype(pts.dtype)
+    return pts * zero, dirs * zero, npts, pt_valid
+
+
 # -----------------------------------------------------------------------------
 # Hypothesis generation (batched closed-form 2-line intersection)
 
@@ -487,6 +545,7 @@ def hough_vote(
     confidence: float = 0.99,
     max_iter: int = 20,
     adaptive: bool = True,
+    sampler: str = "bbox",
     use_pallas: Optional[bool] = None,
     interpret: bool = False,
 ) -> dict:
@@ -498,7 +557,10 @@ def hough_vote(
     """
     b, n = agg["valid"].shape
     k_sample, k_vote = jax.random.split(key)
-    pts, dirs, npts, pt_valid = sample_mask_points(
+    sample_fn = (
+        sample_mask_points_bbox if sampler == "bbox" else sample_mask_points
+    )
+    pts, dirs, npts, pt_valid = sample_fn(
         k_sample, agg["instance_masks"], agg["xy_dense"], max_points
     )
     m = b * n

@@ -34,6 +34,7 @@ class PipelineConfig:
     hv_confidence: float = 0.99
     hv_max_iter: int = 20
     hv_adaptive: bool = True  # False = one fixed-budget vote (TPU serving mode)
+    hv_sampler: str = "bbox"  # 'bbox' (1 gather round) or 'cdf' (exact)
     cc_max_iters: int = 64
     use_pallas: Optional[bool] = None  # None -> auto (TPU yes, CPU no)
 
@@ -68,6 +69,7 @@ def run_pipeline(
                 confidence=config.hv_confidence,
                 max_iter=config.hv_max_iter,
                 adaptive=config.hv_adaptive,
+                sampler=config.hv_sampler,
                 use_pallas=config.use_pallas,
             )
             if config.perform_rt_calculation:
