@@ -46,6 +46,11 @@ class PoseRegressorNet(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> Dict[str, jax.Array]:
+        if x.shape[1] % 32 or x.shape[2] % 32:
+            raise ValueError(
+                f"input spatial dims must be multiples of 32 for the FPN "
+                f"top-down pathway, got {x.shape[1]}x{x.shape[2]}"
+            )
         c = self.num_classes
         features = ResNetEncoder(self.encoder_name, dtype=self.dtype,
                                  name="encoder")(x, train=train)
