@@ -94,6 +94,7 @@ class HParams:
     # Hough voting (FPC/config.py:90-105)
     HV_NUM_OF_HYPOTHESES: int = 128
     HV_ADAPTIVE: bool = True  # False: single fixed-budget vote (TPU serving)
+    HV_IMPLEMENTATION: str = "ransac"  # or "soft" (weighted-mean + pruning)
     HV_HYPOTHESIS_IN_MASK_MULTIPLIER: int = 3
     PRUN_METHOD: str = "iqr"
     PRUN_OUTLIER_DROP: bool = False
@@ -270,5 +271,12 @@ def pipeline_config_from(hp: HParams, use_pallas=None):
         max_points=hp.MAX_VOTE_POINTS,
         hv_num_hypotheses=hp.HV_NUM_OF_HYPOTHESES,
         hv_adaptive=hp.HV_ADAPTIVE,
+        hv_implementation=hp.HV_IMPLEMENTATION,
+        prun_method=None if hp.PRUN_METHOD in (None, "none") else hp.PRUN_METHOD,
+        prun_outlier_drop=hp.PRUN_OUTLIER_DROP,
+        prun_replacement=hp.PRUN_OUTLIER_REPLACEMENT_STYLE,
+        prun_zscore_threshold=hp.PRUN_ZSCORE_THRESHOLD,
+        iqr_multiplier=hp.IQR_MULTIPLIER,
+        hv_in_mask_multiplier=float(hp.HV_HYPOTHESIS_IN_MASK_MULTIPLIER),
         use_pallas=use_pallas,
     )

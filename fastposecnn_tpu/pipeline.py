@@ -35,6 +35,14 @@ class PipelineConfig:
     hv_max_iter: int = 20
     hv_adaptive: bool = True  # False = one fixed-budget vote (TPU serving mode)
     hv_sampler: str = "bbox"  # 'bbox' (1 gather round) or 'cdf' (exact)
+    hv_implementation: str = "ransac"  # 'ransac' (PVNet path) or 'soft'
+    # soft-voting pruning knobs (FPC/config.py:96-105)
+    prun_method: Optional[str] = "iqr"
+    prun_outlier_drop: bool = False
+    prun_replacement: str = "median"
+    prun_zscore_threshold: float = 1.0
+    iqr_multiplier: float = 1.5
+    hv_in_mask_multiplier: float = 3.0
     cc_max_iters: int = 64
     use_pallas: Optional[bool] = None  # None -> auto (TPU yes, CPU no)
 
@@ -60,18 +68,34 @@ def run_pipeline(
             cc_max_iters=config.cc_max_iters,
         )
         if config.perform_hough_voting:
-            aggregated = hough_vote(
-                key,
-                aggregated,
-                max_points=config.max_points,
-                round_hyp_num=config.hv_num_hypotheses,
-                inlier_thresh=config.hv_inlier_thresh,
-                confidence=config.hv_confidence,
-                max_iter=config.hv_max_iter,
-                adaptive=config.hv_adaptive,
-                sampler=config.hv_sampler,
-                use_pallas=config.use_pallas,
-            )
+            if config.hv_implementation == "soft":
+                from fastposecnn_tpu.ops.voting_soft import soft_hough_vote
+
+                aggregated = soft_hough_vote(
+                    key,
+                    aggregated,
+                    max_points=config.max_points,
+                    num_hypotheses=config.hv_num_hypotheses,
+                    prun_method=config.prun_method,
+                    prun_drop=config.prun_outlier_drop,
+                    prun_replacement=config.prun_replacement,
+                    zscore_threshold=config.prun_zscore_threshold,
+                    iqr_multiplier=config.iqr_multiplier,
+                    in_mask_multiplier=config.hv_in_mask_multiplier,
+                )
+            else:
+                aggregated = hough_vote(
+                    key,
+                    aggregated,
+                    max_points=config.max_points,
+                    round_hyp_num=config.hv_num_hypotheses,
+                    inlier_thresh=config.hv_inlier_thresh,
+                    confidence=config.hv_confidence,
+                    max_iter=config.hv_max_iter,
+                    adaptive=config.hv_adaptive,
+                    sampler=config.hv_sampler,
+                    use_pallas=config.use_pallas,
+                )
             if config.perform_rt_calculation:
                 R, T, RT = geometry.batch_get_RT(
                     aggregated["quaternion"],

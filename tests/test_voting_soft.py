@@ -64,3 +64,33 @@ class TestSoftVote:
         )
         np.testing.assert_allclose(np.asarray(out["xy"][0, 0]), center, atol=0.3)
         assert out["hypothesis"].shape == (1, 1, 64, 2)
+
+
+class TestSoftPipelineIntegration:
+    def test_pipeline_with_soft_voting(self):
+        import jax
+        import jax.numpy as jnp
+        from fastposecnn_tpu.data.synthetic import SceneConfig, generate_scene, perfect_logits
+        from fastposecnn_tpu.pipeline import PipelineConfig, run_pipeline
+
+        rng = np.random.default_rng(2)
+        cfg = SceneConfig()
+        scene = generate_scene(rng, cfg)
+        logits = {k: jnp.asarray(v) for k, v in
+                  perfect_logits(scene, cfg.num_classes).items()}
+        pcfg = PipelineConfig(
+            max_instances=cfg.max_instances, max_points=256,
+            hv_num_hypotheses=64, hv_implementation="soft", use_pallas=False,
+        )
+        inv_K = jnp.asarray(np.linalg.inv(scene["intrinsics"]))
+        out = run_pipeline(logits, jax.random.key(0), pcfg, inv_K)
+        agg = out["aggregated"]
+        valid = np.asarray(agg["valid"][0])
+        gt = scene["agg"]
+        # every GT center has a soft-voted center nearby (instance order
+        # from CC extraction differs from scene order)
+        pred_xy = np.asarray(agg["xy"][0])[valid]
+        for k in range(int(gt["valid"].sum())):
+            d = np.linalg.norm(pred_xy - gt["xy"][k], axis=-1).min()
+            assert d < 1.5, (k, d)
+        assert "RT" in agg
