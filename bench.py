@@ -51,7 +51,9 @@ def main():
         out = run_pipeline(logits, jax.random.key(1), pcfg, inv_K)
         agg = out["aggregated"]
         return (
-            out["categorical"]["mask"],
+            # uint8 halves the dense-output relayout cost vs int32 (class
+            # count is < 256 by construction)
+            out["categorical"]["mask"].astype(jnp.uint8),
             agg["class_ids"],
             agg["xy"],
             agg["z"],

@@ -191,10 +191,12 @@ def perfect_logits(scene: Dict[str, np.ndarray], num_classes: int) -> Dict[str, 
         xy[m, c, 0] = (dx / norm)[m]
         xy[m, c, 1] = (dy / norm)[m]
 
+    # Flatten to the model's class-major flat channel layout
+    # (models/pose_regressor.py layout note).
     return {
         "mask": mask_logits[None],
-        "quaternion": quat[None],
-        "xy": xy[None],
+        "quaternion": quat.reshape(h, w, cm1 * 4)[None],
+        "xy": xy.reshape(h, w, cm1 * 2)[None],
         "z": z[None],
-        "scales": scales[None],
+        "scales": scales.reshape(h, w, cm1 * 3)[None],
     }

@@ -20,6 +20,7 @@ from typing import Any, Dict
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from fastposecnn_tpu.models.fpn import FPNDecoder, SegmentationHead
 from fastposecnn_tpu.models.resnet import ResNetEncoder
@@ -28,12 +29,19 @@ from fastposecnn_tpu.models.resnet import ResNetEncoder
 class PoseRegressorNet(nn.Module):
     """Dense multi-head network.
 
-    Outputs (NHWC):
-      mask:       [B, H, W, C]        class logits (incl. background)
-      quaternion: [B, H, W, C-1, 4]   per-foreground-class quaternion field
-      xy:         [B, H, W, C-1, 2]   per-class 2D-center unit-vector field
-      z:          [B, H, W, C-1]      per-class log-depth field
-      scales:     [B, H, W, C-1, 3]   per-class log-free scale field
+    Outputs (NHWC, per-class channel groups kept FLAT and class-major —
+    class c of field k occupies channels [c*k, (c+1)*k)):
+      mask:       [B, H, W, C]         class logits (incl. background)
+      quaternion: [B, H, W, 4*(C-1)]
+      xy:         [B, H, W, 2*(C-1)]   2D-center unit-vector field
+      z:          [B, H, W, C-1]       log-depth field
+      scales:     [B, H, W, 3*(C-1)]
+
+    Layout note (TPU): a [B, H, W, C-1, k] view puts (C-1, k) in the
+    tile-minor dims, which Mosaic pads to (8, 128) — a 32x physical blowup
+    that measured ~19 ms of relayout at 480p. Flat channel-major layouts
+    keep one 128-padded axis; `ops.class_compress` does the per-class
+    select with a static group-sum matmul instead of 5D broadcasting.
     """
 
     num_classes: int = 7  # including background
@@ -73,19 +81,20 @@ class PoseRegressorNet(nn.Module):
         xyz_logits = decode("translation", 3 * (c - 1))
         scales_logits = decode("scales", 3 * (c - 1))
 
-        b, h, w = mask_logits.shape[:3]
-        quat = quat_logits.reshape(b, h, w, c - 1, 4)
-        xyz = xyz_logits.reshape(b, h, w, c - 1, 3)
-        scales = scales_logits.reshape(b, h, w, c - 1, 3)
+        # Per class: channels (0,1) are the xy unit-vector field, channel 2
+        # is log-depth (FPC pose_regressor.py:729-732 channel split). Static
+        # channel selection keeps the layout flat.
+        xy_idx = np.asarray(
+            [3 * k + d for k in range(c - 1) for d in (0, 1)]
+        )
+        z_idx = np.asarray([3 * k + 2 for k in range(c - 1)])
 
         return {
             "mask": mask_logits.astype(jnp.float32),
-            "quaternion": quat.astype(jnp.float32),
-            # Per class: channels (0,1) are the xy unit-vector field, channel
-            # 2 is log-depth (FPC pose_regressor.py:729-732 channel split).
-            "xy": xyz[..., :2].astype(jnp.float32),
-            "z": xyz[..., 2].astype(jnp.float32),
-            "scales": scales.astype(jnp.float32),
+            "quaternion": quat_logits.astype(jnp.float32),
+            "xy": xyz_logits[..., xy_idx].astype(jnp.float32),
+            "z": xyz_logits[..., z_idx].astype(jnp.float32),
+            "scales": scales_logits.astype(jnp.float32),
         }
 
 

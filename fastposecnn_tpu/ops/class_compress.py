@@ -3,26 +3,53 @@
 Parity: FPC/lib/gpu_tensor_funcs.py:52-99 (`class_compress`) +
 FPC/lib/pose_regressor.py:445-457 (`Model.class_compression`).
 
-Implementation note (TPU): this is a one-hot multiply + sum over the class
-axis — structurally the same as the reference's scatter/chunk/sum
-(gpu_tensor_funcs.py:64-85) rather than a per-pixel gather. A gather-based
-select (`take_along_axis`) is O(pixels) in theory but lowers to per-element
-dynamic indexing on TPU and measured ~17 ms at 480x640; the multiply-sum is
-pure VPU work that XLA fuses into the surrounding ops (<1 ms).
+TPU implementation: all per-class fields stay FLAT and class-major
+([B, H, W, k*(C-1)], see models/pose_regressor.py layout note). The
+compression is
+    masked = field_flat * onehot[..., class_of_channel]
+    out_k  = masked @ G          (G[c*k + j, j] = 1 — static group-sum)
+i.e. a per-pixel elementwise mask plus one skinny MXU matmul, which is the
+reference's own scatter/chunk/sum structure. 5D one-hot broadcasting
+([B,H,W,C-1,k]) is avoided entirely: its (C-1, k) tile-minor dims get padded
+to (8, 128) on TPU — a ~32x physical blowup that measured ~19 ms at 480p.
 """
 
 from __future__ import annotations
 
+import functools
 from typing import Dict
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from fastposecnn_tpu.geometry import safe_normalize
 
+# Per-class field widths, concatenation order fixed.
+_FIELD_DIMS = (("quaternion", 4), ("xy", 2), ("z", 1), ("scales", 3))
+_TOTAL_K = sum(k for _, k in _FIELD_DIMS)  # 10
+
+
+@functools.lru_cache(maxsize=8)
+def _static_maps(num_fg_classes: int):
+    """(channel -> class index map [D], group-sum matrix [D, 10]) for the
+    concatenated flat field of width D = 10 * num_fg_classes."""
+    chan_class = []
+    rows = []
+    for c in range(num_fg_classes):
+        offset = 0
+        for _, k in _FIELD_DIMS:
+            for j in range(k):
+                chan_class.append(c)
+                row = np.zeros((_TOTAL_K,), np.float32)
+                row[offset + j] = 1.0
+                rows.append(row)
+            offset += k
+    return np.asarray(chan_class, np.int32), np.stack(rows)
+
 
 def class_compress(logits: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
-    """logits (layouts per PoseRegressorNet) -> categorical data.
+    """logits (flat layouts per PoseRegressorNet) -> categorical data.
 
     Returns:
       mask:       [B, H, W] int32 argmax class (incl. background 0)
@@ -33,28 +60,36 @@ def class_compress(logits: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
     """
     # LogSoftmax then argmax == argmax (FPC pose_regressor.py:449).
     num_classes = logits["mask"].shape[-1]
+    cm1 = num_classes - 1
     cat_mask = jnp.argmax(logits["mask"], axis=-1).astype(jnp.int32)
-    # One-hot over the C-1 foreground groups; background rows are all-zero,
-    # which also zeroes bg pixels (reference zeroes non-class pixels too).
-    onehot = jax.nn.one_hot(
-        cat_mask - 1, num_classes - 1, dtype=logits["quaternion"].dtype
-    )  # [B, H, W, C-1]; cat_mask==0 -> all zeros
 
-    def select(field: jax.Array) -> jax.Array:
-        # field: [B, H, W, C-1] or [B, H, W, C-1, k]
-        oh = onehot if field.ndim == 4 else onehot[..., None]
-        return jnp.sum(field * oh, axis=3)
+    # Interleave the flat fields into one class-major [B, H, W, 10*cm1]
+    # tensor: per class c the 10 channels are (quat 4, xy 2, z 1, scales 3).
+    parts = []
+    for c in range(cm1):
+        parts.append(logits["quaternion"][..., 4 * c : 4 * c + 4])
+        parts.append(logits["xy"][..., 2 * c : 2 * c + 2])
+        parts.append(logits["z"][..., c : c + 1])
+        parts.append(logits["scales"][..., 3 * c : 3 * c + 3])
+    flat = jnp.concatenate(parts, axis=-1)
 
-    quat = select(logits["quaternion"])
-    xy = select(logits["xy"])
-    z = select(logits["z"])
-    scales = select(logits["scales"])
+    chan_class, G = _static_maps(cm1)
+    onehot = jax.nn.one_hot(cat_mask - 1, cm1, dtype=flat.dtype)
+    masked = flat * onehot[..., jnp.asarray(chan_class)]
+    out10 = jnp.einsum(
+        "bhwd,dk->bhwk", masked, jnp.asarray(G, flat.dtype),
+        preferred_element_type=jnp.float32,
+    )
 
-    out = {
+    quat = out10[..., 0:4]
+    xy = out10[..., 4:6]
+    z = out10[..., 6]
+    scales = out10[..., 7:10]
+
+    return {
         "mask": cat_mask,
         "quaternion": safe_normalize(quat),
         "xy": safe_normalize(xy),
         "z": z,
         "scales": scales,
     }
-    return out

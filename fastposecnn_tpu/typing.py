@@ -19,10 +19,10 @@ class LogitData(TypedDict):
     """Raw network outputs (models.pose_regressor.PoseRegressorNet)."""
 
     mask: Array  # [B, H, W, C]
-    quaternion: Array  # [B, H, W, C-1, 4]
-    xy: Array  # [B, H, W, C-1, 2]
+    quaternion: Array  # [B, H, W, 4*(C-1)] flat class-major
+    xy: Array  # [B, H, W, 2*(C-1)] flat class-major
     z: Array  # [B, H, W, C-1]
-    scales: Array  # [B, H, W, C-1, 3]
+    scales: Array  # [B, H, W, 3*(C-1)] flat class-major
 
 
 class CategoricalData(TypedDict):

@@ -14,10 +14,10 @@ class TestPoseRegressorNet:
         variables = net.init(jax.random.key(0), x)
         out = net.apply(variables, x)
         assert out["mask"].shape == (1, 64, 64, 7)
-        assert out["quaternion"].shape == (1, 64, 64, 6, 4)
-        assert out["xy"].shape == (1, 64, 64, 6, 2)
+        assert out["quaternion"].shape == (1, 64, 64, 24)
+        assert out["xy"].shape == (1, 64, 64, 12)
         assert out["z"].shape == (1, 64, 64, 6)
-        assert out["scales"].shape == (1, 64, 64, 6, 3)
+        assert out["scales"].shape == (1, 64, 64, 18)
         for v in out.values():
             assert np.isfinite(np.asarray(v)).all()
 

@@ -21,10 +21,12 @@ from fastposecnn_tpu.ops.matching import (
 def make_logits(rng, b=2, h=16, w=16, c=4):
     return {
         "mask": jnp.asarray(rng.normal(size=(b, h, w, c)), jnp.float32),
-        "quaternion": jnp.asarray(rng.normal(size=(b, h, w, c - 1, 4)), jnp.float32),
-        "xy": jnp.asarray(rng.normal(size=(b, h, w, c - 1, 2)), jnp.float32),
+        "quaternion": jnp.asarray(
+            rng.normal(size=(b, h, w, (c - 1) * 4)), jnp.float32),
+        "xy": jnp.asarray(rng.normal(size=(b, h, w, (c - 1) * 2)), jnp.float32),
         "z": jnp.asarray(rng.normal(size=(b, h, w, c - 1)), jnp.float32),
-        "scales": jnp.asarray(rng.normal(size=(b, h, w, c - 1, 3)), jnp.float32),
+        "scales": jnp.asarray(
+            rng.normal(size=(b, h, w, (c - 1) * 3)), jnp.float32),
     }
 
 
@@ -40,8 +42,9 @@ class TestClassCompress:
         b, y, x = np.argwhere(mask > 0)[0]
         cls = mask[b, y, x]
         z_expect = np.asarray(logits["z"])[b, y, x, cls - 1]
-        np.testing.assert_allclose(np.asarray(out["z"])[b, y, x], z_expect, rtol=1e-6)
-        q_raw = np.asarray(logits["quaternion"])[b, y, x, cls - 1]
+        np.testing.assert_allclose(np.asarray(out["z"])[b, y, x], z_expect, rtol=1e-5)
+        q_raw = np.asarray(logits["quaternion"])[
+            b, y, x, 4 * (cls - 1) : 4 * cls]
         q_expect = q_raw / np.linalg.norm(q_raw)
         np.testing.assert_allclose(
             np.asarray(out["quaternion"])[b, y, x], q_expect, rtol=1e-5
