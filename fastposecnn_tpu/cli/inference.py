@@ -26,6 +26,8 @@ def main(argv=None):
     parser.add_argument("--draw", type=int, default=20,
                         help="save figures for first N batches")
     parser.add_argument("--stage_timing", action="store_true")
+    parser.add_argument("--trace", default=None,
+                        help="capture a jax.profiler trace into this dir")
     C.add_cli_overrides(parser, C.HParams())
     args = parser.parse_args(argv)
 
@@ -104,6 +106,29 @@ def main(argv=None):
     if out_dir:
         out_dir.mkdir(parents=True, exist_ok=True)
 
+    import contextlib
+
+    from fastposecnn_tpu.utils.timer import trace as profiler_trace
+
+    trace_cm = profiler_trace(args.trace) if args.trace else contextlib.nullcontext()
+    with trace_cm:
+        _inference_loop(
+            loader, timers, fused, model_only, pipeline_only, state,
+            out_dir, args, hp, intrinsics,
+        )
+
+    report_runtime(timers)
+
+
+def _inference_loop(loader, timers, fused, model_only, pipeline_only, state,
+                    out_dir, args, hp, intrinsics):
+    import jax
+    import numpy as np
+
+    from fastposecnn_tpu.ops.matching import gather_matched, match_instances
+    from fastposecnn_tpu.train.loop import _pad_batch, _to_device_batch
+    from fastposecnn_tpu.utils import visualize as vz
+
     for bi, batch in enumerate(loader):
         if batch is None:
             continue
@@ -152,8 +177,6 @@ def main(argv=None):
             import matplotlib.pyplot as plt
 
             plt.close(fig)
-
-    report_runtime(timers)
 
 
 if __name__ == "__main__":
