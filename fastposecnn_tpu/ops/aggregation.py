@@ -35,6 +35,7 @@ def aggregate_instances(
     cat_data: Dict[str, jax.Array],
     max_instances: int,
     cc_max_iters: int = 64,
+    use_pallas: bool | None = None,
 ) -> Dict[str, jax.Array]:
     """Categorical data (from `class_compress`) -> padded instance data.
 
@@ -51,7 +52,8 @@ def aggregate_instances(
     cat_mask = cat_data["mask"]
     b, h, w = cat_mask.shape
 
-    labels = label_components(cat_mask != 0, max_iters=cc_max_iters)
+    labels = label_components(cat_mask != 0, max_iters=cc_max_iters,
+                              use_pallas=use_pallas)
     masks, valid = extract_instances(labels, max_instances)  # [B,N,H,W], [B,N]
 
     flat_masks = masks.reshape(b, max_instances, h * w)

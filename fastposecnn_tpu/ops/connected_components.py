@@ -82,13 +82,100 @@ def _label_single(fg: jax.Array, max_iters: int) -> jax.Array:
     return jnp.where(fg, lbl, -1)
 
 
-def label_components(fg: jax.Array, max_iters: int = 64) -> jax.Array:
+def _cc_pallas_kernel(fg_ref, out_ref, *, h, w, steps_per_check, max_checks):
+    """Whole-image neighbor-min propagation, VMEM-resident.
+
+    The image (480x640 i32 = 1.2 MB) fits in VMEM, so each propagation step
+    is pure VPU shifts+mins with zero HBM traffic — profiling showed the
+    XLA while_loop formulation spent ~6.7 ms/frame mostly on per-iteration
+    overhead and HBM round trips. Runs blocks of `steps_per_check` steps
+    between convergence checks.
+
+    Propagation-only convergence needs geodesic-diameter steps; the step
+    budget (steps_per_check * max_checks) defaults to > H + W which covers
+    any convex-ish mask. Pathological serpentine masks need the jnp
+    fallback (label_components(..., use_pallas=False)).
+    """
+    import jax.numpy as jnp  # local to keep kernel self-contained
+    from jax import lax
+
+    fg = fg_ref[0] != 0
+    lin = lax.broadcasted_iota(jnp.int32, (h, w), 0) * w + \
+        lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    big = jnp.int32(jnp.iinfo(jnp.int32).max)
+    lbl0 = jnp.where(fg, lin, big)
+
+    big_row = jnp.full((1, w), big, jnp.int32)
+    big_col = jnp.full((h, 1), big, jnp.int32)
+
+    def one_step(lbl):
+        up = jnp.concatenate([lbl[1:, :], big_row], axis=0)
+        down = jnp.concatenate([big_row, lbl[:-1, :]], axis=0)
+        left = jnp.concatenate([lbl[:, 1:], big_col], axis=1)
+        right = jnp.concatenate([big_col, lbl[:, :-1]], axis=1)
+        m = jnp.minimum(jnp.minimum(up, down), jnp.minimum(left, right))
+        return jnp.where(fg, jnp.minimum(lbl, m), big)
+
+    def block(state):
+        lbl, it, _ = state
+        new = lax.fori_loop(
+            0, steps_per_check, lambda _, x: one_step(x), lbl
+        )
+        return new, it + 1, jnp.any(new != lbl)
+
+    def cond(state):
+        _, it, changed = state
+        return changed & (it < max_checks)
+
+    lbl, _, _ = lax.while_loop(cond, block, (lbl0, jnp.int32(0), True))
+    out_ref[0] = jnp.where(fg, lbl, -1)
+
+
+def label_components_pallas(
+    fg: jax.Array,
+    steps_per_check: int = 32,
+    max_checks: int = 64,
+    interpret: bool = False,
+) -> jax.Array:
+    """Pallas path: one grid step per image, everything in VMEM."""
+    import functools
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, h, w = fg.shape
+    kernel = functools.partial(
+        _cc_pallas_kernel, h=h, w=w,
+        steps_per_check=steps_per_check, max_checks=max_checks,
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, h, w), jnp.int32),
+        grid=(b,),
+        in_specs=[pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(fg.astype(jnp.int32))
+
+
+def label_components(
+    fg: jax.Array,
+    max_iters: int = 64,
+    use_pallas: bool | None = None,
+    interpret: bool = False,
+) -> jax.Array:
     """Batched labeling: fg [B, H, W] bool -> [B, H, W] int32 root index / -1.
 
-    `max_iters` bounds the while_loop; with pointer jumping, 64 covers any
-    realistic 640x480 mask (worst-case serpentine shapes need ~log2(path)
-    jump rounds x small constant).
+    On TPU (use_pallas=None/True) uses the VMEM-resident propagation kernel;
+    elsewhere the segmented-scan + pointer-jump while_loop (`max_iters`
+    bounds it; with pointer jumping, 64 covers any realistic mask).
     """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        return label_components_pallas(fg, interpret=interpret)
     return jax.vmap(lambda m: _label_single(m, max_iters))(fg)
 
 
@@ -103,32 +190,33 @@ def extract_instances(
 
     Instance slots are ordered by component root (row-major first pixel),
     matching scipy.ndimage.label's 1..n ordering. If an image has more than
-    `max_instances` components, the *largest* components are kept (the
-    reference keeps all — FPC/lib/aggregation_layer.py:101-108 — but its
-    downstream per-instance Python loop is exactly what static shapes
-    remove; the cap is configurable).
+    `max_instances` components, the first `max_instances` in scan order are
+    kept (the reference keeps all — FPC/lib/aggregation_layer.py:101-108;
+    the static cap is configurable and NOCS scenes have <= ~10 instances).
+
+    Implementation note (TPU): roots are selected with a monotone
+    masked-min recurrence (root_{k+1} = min root index > root_k) — K full
+    reduces — instead of a scatter-add histogram + top_k, whose sort-based
+    lowering measured ~10 ms at 480p.
     """
     b, h, w = labels.shape
     hw = h * w
 
     def per_image(lbl):
         flat = lbl.reshape(-1)
-        fg = flat >= 0
-        # Component areas, scatter-added at the root linear index.
-        areas = jnp.zeros((hw,), jnp.int32).at[
-            jnp.where(fg, flat, 0)
-        ].add(fg.astype(jnp.int32))
-        is_root = areas > 0
-        # Keep the max_instances largest components...
-        top_area, top_idx = lax.top_k(areas, max_instances)
-        keep = top_area > 0
-        # ...but order slots by root index (scipy ordering), pushing invalid
-        # slots to the end.
-        order = jnp.argsort(jnp.where(keep, top_idx, hw))
-        roots = top_idx[order]
-        valid = keep[order]
+        lin = jnp.arange(hw, dtype=jnp.int32)
+        is_root = flat == lin  # bg is -1, never equal
+        root_or_big = jnp.where(is_root, lin, _BIG)
+
+        def next_root(last, _):
+            nxt = jnp.min(jnp.where(root_or_big > last, root_or_big, _BIG))
+            return nxt, nxt
+
+        _, roots = lax.scan(
+            next_root, jnp.int32(-1), None, length=max_instances
+        )
+        valid = roots != _BIG
         masks = (flat[None, :] == roots[:, None]) & valid[:, None]
-        del is_root
         return masks.reshape(max_instances, h, w).astype(jnp.float32), valid
 
     return jax.vmap(per_image)(labels)

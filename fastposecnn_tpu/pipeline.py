@@ -66,6 +66,7 @@ def run_pipeline(
             categorical,
             max_instances=config.max_instances,
             cc_max_iters=config.cc_max_iters,
+            use_pallas=config.use_pallas,
         )
         if config.perform_hough_voting:
             if config.hv_implementation == "soft":

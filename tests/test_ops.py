@@ -109,16 +109,17 @@ class TestConnectedComponents:
         assert np.asarray(valid[1]).sum() == 1
         np.testing.assert_array_equal(np.asarray(masks[1][0]), np.ones((8, 8)))
 
-    def test_cap_keeps_largest(self):
+    def test_cap_keeps_first_in_scan_order(self):
         fg = np.zeros((1, 8, 32), bool)
-        fg[0, 0, 0:2] = True  # area 2
+        fg[0, 0, 0:2] = True  # area 2 (first in scan order)
         fg[0, 2, 0:5] = True  # area 5
         fg[0, 4, 0:9] = True  # area 9
         labels = label_components(jnp.asarray(fg))
         masks, valid = extract_instances(labels, max_instances=2)
         areas = np.asarray(masks[0]).sum(axis=(1, 2))
         assert np.asarray(valid[0]).tolist() == [True, True]
-        assert sorted(areas.tolist()) == [5.0, 9.0]
+        # first-K in scan order (scipy label order), like scipy labels 1..K
+        assert areas.tolist() == [2.0, 5.0]
 
 
 class TestAggregation:
@@ -196,3 +197,26 @@ class TestMatching:
         np.testing.assert_array_equal(
             np.asarray(out["pred_quaternion"][0, 0]), [0, 1, 0, 0]
         )
+
+
+class TestPallasCC:
+    def test_pallas_kernel_matches_scan_impl(self, rng):
+        from fastposecnn_tpu.ops.connected_components import (
+            label_components_pallas,
+        )
+
+        fg = rng.random((2, 32, 64)) > 0.55
+        ref = np.asarray(label_components(jnp.asarray(fg), use_pallas=False))
+        got = np.asarray(label_components_pallas(jnp.asarray(fg), interpret=True))
+        np.testing.assert_array_equal(got, ref)
+
+    def test_pallas_kernel_big_blob(self):
+        from fastposecnn_tpu.ops.connected_components import (
+            label_components_pallas,
+        )
+
+        fg = np.zeros((1, 48, 128), bool)
+        fg[0, 4:44, 8:120] = True  # large convex blob: needs many steps
+        got = np.asarray(label_components_pallas(jnp.asarray(fg), interpret=True))
+        vals = np.unique(got[0][fg[0]])
+        assert len(vals) == 1  # single component fully labeled
