@@ -27,8 +27,10 @@ from fastposecnn_tpu import constants
 APS_NUM_OF_POINTS = 50  # FPC/evaluate.py:40
 
 
-def collect_raw_errors(hp, valid_loader, state, net, pcfg, inv_K):
-    """Phase A: forward + match + per-class raw errors."""
+def collect_raw_errors(hp, valid_loader, state, net, pcfg, inv_K,
+                       draw: int = 0, draw_dir=None):
+    """Phase A: forward + match + per-class raw errors (+ optional figures,
+    FPC/evaluate.py:161-187 DRAW)."""
     import jax
     import jax.numpy as jnp
 
@@ -46,7 +48,7 @@ def collect_raw_errors(hp, valid_loader, state, net, pcfg, inv_K):
             out["aggregated"], batch["agg"], match,
             keys=("quaternion", "scales", "z", "xy", "T", "R", "RT"),
         )
-        return matched
+        return matched, out["categorical"]["mask"]
 
     num_classes = hp.num_classes
     raw = {
@@ -61,10 +63,14 @@ def collect_raw_errors(hp, valid_loader, state, net, pcfg, inv_K):
             continue
         batch, n_real = _pad_batch(batch, hp.BATCH_SIZE)
         db = _to_device_batch(batch, None)
-        matched = jax.device_get(
-            forward_match(state.params, state.batch_stats, db,
-                          jax.random.key(bi))
+        matched, pred_mask = forward_match(
+            state.params, state.batch_stats, db, jax.random.key(bi)
         )
+        matched = jax.device_get(matched)
+        if draw and bi < draw and draw_dir is not None:
+            _save_comparison_figure(
+                hp, batch, matched, np.asarray(pred_mask), bi, draw_dir
+            )
         valid = matched["valid"][:n_real]
         cls = matched["class_ids"][:n_real]
         # f64 error math on host for metric parity
@@ -101,6 +107,29 @@ def collect_raw_errors(hp, valid_loader, state, net, pcfg, inv_K):
                  for c, v in per.items()}
         for metric, per in raw.items()
     }
+
+
+def _save_comparison_figure(hp, batch, matched, pred_mask, bi, draw_dir):
+    from fastposecnn_tpu import constants
+    from fastposecnn_tpu.utils import visualize as vz
+
+    import matplotlib.pyplot as plt
+
+    intr = constants.INTRINSICS[hp.DATASET_NAME]
+    img = vz.denormalize_image(np.asarray(batch["image"][0]))
+    fig = vz.make_summary_figure(
+        rgb=img,
+        pred_mask=vz.colorize_mask(pred_mask[0], hp.num_classes),
+        gt_mask=vz.colorize_mask(np.asarray(batch["mask"][0]), hp.num_classes),
+        pose=vz.compare_pose_performance(
+            img,
+            matched["gt_RT"][0], matched["gt_scales"][0],
+            matched["pred_RT"][0], matched["pred_scales"][0],
+            matched["valid"][0], intr,
+        ),
+    )
+    fig.savefig(str(pathlib.Path(draw_dir) / f"eval_{bi:04d}.png"))
+    plt.close(fig)
 
 
 def compute_aps(raw, class_names):
@@ -174,6 +203,9 @@ def main(argv=None):
     parser.add_argument("--valid_dir", default=None)
     parser.add_argument("--synthetic", type=int, default=0)
     parser.add_argument("--output", default="eval_output")
+    parser.add_argument("--draw", type=int, default=0,
+                        help="save comparison figures for first N batches "
+                             "(FPC evaluate.py DRAW option)")
     C.add_cli_overrides(parser, C.HParams())
     args = parser.parse_args(argv)
 
@@ -224,7 +256,8 @@ def main(argv=None):
             state, hp = ckpt.load_checkpoint(hp.CHECKPOINT, state, hp)
         pcfg = C.pipeline_config_from(hp)
         inv_K = np.linalg.inv(constants.INTRINSICS[hp.DATASET_NAME])
-        raw = collect_raw_errors(hp, loader, state, net, pcfg, inv_K)
+        raw = collect_raw_errors(hp, loader, state, net, pcfg, inv_K,
+                                 draw=args.draw, draw_dir=out_dir)
         np.savez(
             results_path,
             **{f"{m}/{c}": v for m, per in raw.items() for c, v in per.items()},
