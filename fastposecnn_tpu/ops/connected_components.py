@@ -83,51 +83,76 @@ def _label_single(fg: jax.Array, max_iters: int) -> jax.Array:
 
 
 def _cc_pallas_kernel(fg_ref, out_ref, *, h, w, steps_per_check, max_checks):
-    """Whole-image neighbor-min propagation, VMEM-resident.
+    """Whole-image connected components, VMEM-resident.
 
-    The image (480x640 i32 = 1.2 MB) fits in VMEM, so each propagation step
-    is pure VPU shifts+mins with zero HBM traffic — profiling showed the
-    XLA while_loop formulation spent ~6.7 ms/frame mostly on per-iteration
-    overhead and HBM round trips. Runs blocks of `steps_per_check` steps
-    between convergence checks.
+    The image (480x640 i32 = 1.2 MB) fits in VMEM, so everything below is
+    VPU work with zero HBM traffic — profiling showed the XLA while_loop
+    formulation spent ~6.7 ms/frame mostly on per-iteration overhead and
+    HBM round trips, and a naive 1-step neighbor-min kernel still needed
+    geodesic-diameter steps (~2.2 ms).
 
-    Propagation-only convergence needs geodesic-diameter steps; the step
-    budget (steps_per_check * max_checks) defaults to > H + W which covers
-    any convex-ish mask. Pathological serpentine masks need the jnp
-    fallback (label_components(..., use_pallas=False)).
+    Each iteration runs a segmented run-min over rows then columns via
+    Hillis-Steele doubling with segment-blocked flags: log2(axis) shifted
+    mins per direction instead of `axis` single steps. One iteration fully
+    labels any x/y-convex component; convergence takes ~(number of U-turns)
+    iterations, checked every iteration. (`steps_per_check` is kept for
+    API compatibility; `max_checks` bounds the iteration count.)
     """
     import jax.numpy as jnp  # local to keep kernel self-contained
     from jax import lax
 
+    del steps_per_check
     fg = fg_ref[0] != 0
     lin = lax.broadcasted_iota(jnp.int32, (h, w), 0) * w + \
         lax.broadcasted_iota(jnp.int32, (h, w), 1)
     big = jnp.int32(jnp.iinfo(jnp.int32).max)
     lbl0 = jnp.where(fg, lin, big)
 
-    big_row = jnp.full((1, w), big, jnp.int32)
-    big_col = jnp.full((h, 1), big, jnp.int32)
+    def shift(x, k, axis, fill):
+        """Shift x by k (+k pulls from lower indices) along axis."""
+        pad_shape = list(x.shape)
+        pad_shape[axis] = abs(k)
+        pad = jnp.full(pad_shape, fill, x.dtype)
+        if k > 0:
+            sl = [slice(None)] * x.ndim
+            sl[axis] = slice(0, x.shape[axis] - k)
+            return jnp.concatenate([pad, x[tuple(sl)]], axis=axis)
+        sl = [slice(None)] * x.ndim
+        sl[axis] = slice(-k, None)
+        return jnp.concatenate([x[tuple(sl)], pad], axis=axis)
 
-    def one_step(lbl):
-        up = jnp.concatenate([lbl[1:, :], big_row], axis=0)
-        down = jnp.concatenate([big_row, lbl[:-1, :]], axis=0)
-        left = jnp.concatenate([lbl[:, 1:], big_col], axis=1)
-        right = jnp.concatenate([big_col, lbl[:, :-1]], axis=1)
-        m = jnp.minimum(jnp.minimum(up, down), jnp.minimum(left, right))
-        return jnp.where(fg, jnp.minimum(lbl, m), big)
+    def seg_scan(lbl, axis, sign):
+        """Segmented prefix-min via doubling; sign=+1 forward, -1 backward."""
+        m = lbl
+        blocked = ~fg
+        k = 1
+        n = lbl.shape[axis]
+        while k < n:
+            sm = shift(m, sign * k, axis, big)
+            sb = shift(blocked, sign * k, axis, True)
+            # Segmented-scan combine: if this window is boundary-free, the
+            # shifted partial min belongs to the same segment (its own flag
+            # only caps FURTHER extension, folded into `blocked` below).
+            m = jnp.where(blocked, m, jnp.minimum(m, sm))
+            blocked = blocked | sb
+            k *= 2
+        return m
 
-    def block(state):
+    def run_min(lbl, axis):
+        fwd = seg_scan(lbl, axis, +1)
+        bwd = seg_scan(lbl, axis, -1)
+        return jnp.where(fg, jnp.minimum(fwd, bwd), big)
+
+    def body(state):
         lbl, it, _ = state
-        new = lax.fori_loop(
-            0, steps_per_check, lambda _, x: one_step(x), lbl
-        )
+        new = run_min(run_min(lbl, 1), 0)
         return new, it + 1, jnp.any(new != lbl)
 
     def cond(state):
         _, it, changed = state
         return changed & (it < max_checks)
 
-    lbl, _, _ = lax.while_loop(cond, block, (lbl0, jnp.int32(0), True))
+    lbl, _, _ = lax.while_loop(cond, body, (lbl0, jnp.int32(0), True))
     out_ref[0] = jnp.where(fg, lbl, -1)
 
 

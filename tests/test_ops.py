@@ -220,3 +220,18 @@ class TestPallasCC:
         got = np.asarray(label_components_pallas(jnp.asarray(fg), interpret=True))
         vals = np.unique(got[0][fg[0]])
         assert len(vals) == 1  # single component fully labeled
+
+    def test_pallas_kernel_snake(self):
+        from fastposecnn_tpu.ops.connected_components import (
+            label_components_pallas,
+        )
+
+        fg = np.zeros((1, 16, 16), bool)
+        fg[0, ::2, :] = True
+        for i in range(0, 16, 4):
+            fg[0, i + 1, -1] = True
+        for i in range(2, 16, 4):
+            fg[0, i + 1, 0] = True
+        got = np.asarray(label_components_pallas(jnp.asarray(fg), interpret=True))
+        ref, n = scipy.ndimage.label(fg[0])
+        assert len(np.unique(got[0][fg[0]])) == n
