@@ -122,19 +122,22 @@ def _cc_pallas_kernel(fg_ref, out_ref, *, h, w, steps_per_check, max_checks):
         return jnp.concatenate([x[tuple(sl)], pad], axis=axis)
 
     def seg_scan(lbl, axis, sign):
-        """Segmented prefix-min via doubling; sign=+1 forward, -1 backward."""
+        """Segmented prefix-min via doubling; sign=+1 forward, -1 backward.
+
+        `blocked` is int32 0/1 — Mosaic cannot concatenate i1 vectors
+        (bitcast_vreg i1->i32 fails), so the flag math stays integer."""
         m = lbl
-        blocked = ~fg
+        blocked = jnp.where(fg, 0, 1).astype(jnp.int32)
         k = 1
         n = lbl.shape[axis]
         while k < n:
             sm = shift(m, sign * k, axis, big)
-            sb = shift(blocked, sign * k, axis, True)
+            sb = shift(blocked, sign * k, axis, 1)
             # Segmented-scan combine: if this window is boundary-free, the
             # shifted partial min belongs to the same segment (its own flag
             # only caps FURTHER extension, folded into `blocked` below).
-            m = jnp.where(blocked, m, jnp.minimum(m, sm))
-            blocked = blocked | sb
+            m = jnp.where(blocked > 0, m, jnp.minimum(m, sm))
+            blocked = jnp.maximum(blocked, sb)
             k *= 2
         return m
 
@@ -173,6 +176,13 @@ def label_components_pallas(
         _cc_pallas_kernel, h=h, w=w,
         steps_per_check=steps_per_check, max_checks=max_checks,
     )
+    kwargs = {}
+    if not interpret:
+        # The doubling scans keep ~10 image-sized i32 buffers live; the
+        # default 16 MB scoped-vmem limit overflows by ~200 KB at 480x640.
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        )
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((b, h, w), jnp.int32),
@@ -182,6 +192,7 @@ def label_components_pallas(
         out_specs=pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
+        **kwargs,
     )(fg.astype(jnp.int32))
 
 
