@@ -13,8 +13,8 @@ host-read confidence test per round  | `lax.while_loop` with the RANSAC
 `generate_hypothesis` CUDA kernel    | batched 2x2 closed-form intersection
 `voting_for_hypothesis` CUDA kernel  | Pallas inlier-count kernel (VPU-tiled
 (O(hn*vn*tn) grid)                   | [8k,128]-aligned), jnp fallback on CPU
-random point downsample to 30k       | fixed P points sampled with
-(ransac_voting_gpu.py:541-545)       | replacement from the mask
+random point downsample to 30k       | fixed P points: bbox rejection
+(ransac_voting_gpu.py:541-545)       | sampler (default) or exact inverse-CDF
 
 Algorithm parity (ransac_voting_gpu.py:518-605):
   - hypotheses from random point pairs; near-parallel pairs (|det| < 1e-6)
