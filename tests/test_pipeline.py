@@ -20,22 +20,25 @@ def build_scene(seed=0):
 
 
 class TestFullPipeline:
-    def setup_method(self):
-        self.cfg, self.scene, self.logits = build_scene(seed=3)
+    @classmethod
+    def setup_class(cls):
+        # One pipeline run shared by all assertions (it's pure; re-running
+        # it per test method multiplied suite time ~9x).
+        cls.cfg, cls.scene, cls.logits = build_scene(seed=3)
         pcfg = PipelineConfig(
-            max_instances=self.cfg.max_instances,
+            max_instances=cls.cfg.max_instances,
             max_points=512,
             hv_num_hypotheses=64,
             use_pallas=False,
         )
-        inv_K = jnp.asarray(np.linalg.inv(self.scene["intrinsics"]))
-        self.out = run_pipeline(self.logits, jax.random.key(0), pcfg, inv_K)
-        self.gts = {
-            k: jnp.asarray(v)[None] for k, v in self.scene["agg"].items()
+        inv_K = jnp.asarray(np.linalg.inv(cls.scene["intrinsics"]))
+        cls.out = run_pipeline(cls.logits, jax.random.key(0), pcfg, inv_K)
+        cls.gts = {
+            k: jnp.asarray(v)[None] for k, v in cls.scene["agg"].items()
         }
-        self.match = match_instances(self.out["aggregated"], self.gts)
-        self.matched = gather_matched(
-            self.out["aggregated"], self.gts, self.match,
+        cls.match = match_instances(cls.out["aggregated"], cls.gts)
+        cls.matched = gather_matched(
+            cls.out["aggregated"], cls.gts, cls.match,
             keys=("quaternion", "scales", "z", "xy", "T", "R", "RT"),
         )
 
