@@ -13,11 +13,13 @@ Xavier-uniform (FPC/lib/initialization.py:6-27).
 
 from __future__ import annotations
 
+import functools
 from typing import Sequence
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def upsample_nearest(x: jax.Array, scale: int) -> jax.Array:
@@ -30,37 +32,41 @@ def upsample_nearest(x: jax.Array, scale: int) -> jax.Array:
     return x.reshape(b, h * scale, w * scale, c)
 
 
+@functools.lru_cache(maxsize=16)
+def _interp_matrix(n_in: int, n_out: int) -> np.ndarray:
+    """[n_out, n_in] align_corners=True bilinear interpolation matrix."""
+    W = np.zeros((n_out, n_in), np.float32)
+    if n_in == 1:
+        W[:, 0] = 1.0
+        return W
+    pos = np.arange(n_out, dtype=np.float64) * (n_in - 1) / (n_out - 1)
+    lo = np.floor(pos).astype(np.int64)
+    hi = np.minimum(lo + 1, n_in - 1)
+    frac = (pos - lo).astype(np.float32)
+    W[np.arange(n_out), lo] += 1.0 - frac
+    W[np.arange(n_out), hi] += frac
+    return W
+
+
 def upsample_bilinear(x: jax.Array, scale: int, align_corners: bool = True):
     """Bilinear x`scale` upsample, NHWC.
 
     torch's nn.UpsamplingBilinear2d (used by smp SegmentationHead) fixes
     align_corners=True; jax.image.resize implements half-pixel centers
-    (align_corners=False), so the True path is hand-rolled with gathers.
+    (align_corners=False), so the True path is implemented here as two
+    matmuls with static interpolation matrices. Matmuls run on the MXU and
+    their transpose IS the backward pass — a gather formulation would
+    differentiate into scatter-adds, which lower to sorts on TPU and
+    dominated the training step.
     """
     b, h, w, c = x.shape
     nh, nw = h * scale, w * scale
     if not align_corners:
         return jax.image.resize(x, (b, nh, nw, c), method="bilinear")
-
-    def axis_weights(n_in, n_out):
-        if n_in == 1:
-            idx = jnp.zeros((n_out,), jnp.int32)
-            return idx, idx, jnp.zeros((n_out,), x.dtype)
-        pos = jnp.arange(n_out, dtype=jnp.float32) * (n_in - 1) / (n_out - 1)
-        lo = jnp.floor(pos).astype(jnp.int32)
-        hi = jnp.minimum(lo + 1, n_in - 1)
-        frac = (pos - lo).astype(x.dtype)
-        return lo, hi, frac
-
-    ylo, yhi, yf = axis_weights(h, nh)
-    xlo, xhi, xf = axis_weights(w, nw)
-    top = x[:, ylo][:, :, xlo] * (1 - xf)[None, None, :, None] + x[:, ylo][
-        :, :, xhi
-    ] * xf[None, None, :, None]
-    bot = x[:, yhi][:, :, xlo] * (1 - xf)[None, None, :, None] + x[:, yhi][
-        :, :, xhi
-    ] * xf[None, None, :, None]
-    return top * (1 - yf)[None, :, None, None] + bot * yf[None, :, None, None]
+    Wy = jnp.asarray(_interp_matrix(h, nh), x.dtype)
+    Wx = jnp.asarray(_interp_matrix(w, nw), x.dtype)
+    tmp = jnp.einsum("oh,bhwc->bowc", Wy, x)
+    return jnp.einsum("pw,bowc->bopc", Wx, tmp)
 
 
 class Conv3x3GNReLU(nn.Module):

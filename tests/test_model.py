@@ -46,3 +46,30 @@ class TestPoseRegressorNet:
         res = [f.shape[1] for f in feats]
         assert chans == [3, 64, 64, 128, 256, 512]
         assert res == [64, 32, 16, 8, 4, 2]
+
+
+class TestUpsample:
+    def test_bilinear_matches_torch_upsampling(self, rng):
+        import torch
+
+        from fastposecnn_tpu.models.fpn import upsample_bilinear
+
+        x = rng.normal(size=(2, 6, 8, 3)).astype(np.float32)
+        ours = np.asarray(upsample_bilinear(jnp.asarray(x), 4))
+        ref = torch.nn.UpsamplingBilinear2d(scale_factor=4)(
+            torch.from_numpy(x).permute(0, 3, 1, 2)
+        ).permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+    def test_nearest_matches_torch(self, rng):
+        import torch
+
+        from fastposecnn_tpu.models.fpn import upsample_nearest
+
+        x = rng.normal(size=(1, 5, 7, 2)).astype(np.float32)
+        ours = np.asarray(upsample_nearest(jnp.asarray(x), 2))
+        ref = torch.nn.functional.interpolate(
+            torch.from_numpy(x).permute(0, 3, 1, 2), scale_factor=2,
+            mode="nearest",
+        ).permute(0, 2, 3, 1).numpy()
+        np.testing.assert_array_equal(ours, ref)
