@@ -72,11 +72,26 @@ def match_instances(
     return {"pred_idx": pred_idx, "valid": valid, "iou": jnp.maximum(best, 0.0)}
 
 
+def _standard_pred(key: str, like: jax.Array) -> jax.Array:
+    """The reference's 'standard pred' placeholder for a missed instance:
+    zeros, except quaternion [1,0,0,0], RT = identity, z = 1000
+    (FPC/lib/matching.py:184-221 `get_standard_preds`)."""
+    std = jnp.zeros_like(like)
+    if key == "quaternion":
+        std = std.at[..., 0].set(1.0)
+    elif key == "RT":
+        std = std + jnp.eye(4, dtype=like.dtype)
+    elif key == "z":
+        std = std + 1000.0
+    return std
+
+
 def gather_matched(
     preds: Dict[str, jax.Array],
     gts: Dict[str, jax.Array],
     match: Dict[str, jax.Array],
     keys: tuple = ("quaternion", "scales", "z", "xy", "T", "R", "RT"),
+    fill_missing: bool = False,
 ) -> Dict[str, jax.Array]:
     """Assemble the matched-pair payload consumed by losses and metrics.
 
@@ -84,9 +99,16 @@ def gather_matched(
     becomes a (gt, pred) pair, here stored as `gt_<key>` / `pred_<key>` with
     fixed [B, G, ...] shapes plus the shared `valid`, `class_ids`,
     `symmetric_ids`.
+
+    `fill_missing=True` reproduces `batchwise_find_matches2`
+    (FPC/lib/matching.py:64-221, present but unused by the reference's
+    training loop): unmatched GT instances pair with a 'standard pred'
+    (identity pose at 1 m) and count as valid, so losses penalize missed
+    detections instead of ignoring them.
     """
+    matched = match["valid"] & gts["valid"]
     out = {
-        "valid": match["valid"] & gts["valid"],
+        "valid": gts["valid"] if fill_missing else matched,
         "class_ids": gts["class_ids"],
         "symmetric_ids": gts.get(
             "symmetric_ids", jnp.zeros_like(gts["class_ids"])
@@ -105,5 +127,10 @@ def gather_matched(
         if key in gts:
             out[f"gt_{key}"] = gts[key]
         if key in preds:
-            out[f"pred_{key}"] = take(preds[key], idx)
+            pred = take(preds[key], idx)
+            if fill_missing:
+                std = _standard_pred(key, pred)
+                mshape = matched.shape + (1,) * (pred.ndim - 2)
+                pred = jnp.where(matched.reshape(mshape), pred, std)
+            out[f"pred_{key}"] = pred
     return out

@@ -235,3 +235,40 @@ class TestPallasCC:
         got = np.asarray(label_components_pallas(jnp.asarray(fg), interpret=True))
         ref, n = scipy.ndimage.label(fg[0])
         assert len(np.unique(got[0][fg[0]])) == n
+
+
+class TestFillMissing:
+    def test_standard_preds_for_missed_instances(self):
+        # gt 0 matches pred 1; gt 1 has no same-class pred -> standard pred
+        g = np.zeros((1, 2, 4, 4)); g[0, 0, :2, :2] = 1; g[0, 1, 2:, 2:] = 1
+        p = np.zeros((1, 2, 4, 4)); p[0, 1, :2, :2] = 1
+        gts = {
+            "instance_masks": jnp.asarray(g, jnp.float32),
+            "class_ids": jnp.asarray([[1, 2]], jnp.int32),
+            "valid": jnp.asarray([[True, True]]),
+            "quaternion": jnp.asarray([[[0, 0, 0, 1], [0, 0, 1, 0]]], jnp.float32),
+            "z": jnp.asarray([[900.0, 1100.0]]),
+            "RT": jnp.asarray(np.tile(np.eye(4, dtype=np.float32) * 2, (1, 2, 1, 1))),
+        }
+        preds = {
+            "instance_masks": jnp.asarray(p, jnp.float32),
+            "class_ids": jnp.asarray([[1, 1]], jnp.int32),
+            "valid": jnp.asarray([[True, True]]),
+            "quaternion": jnp.asarray([[[0, 1, 0, 0], [0.5, 0.5, 0.5, 0.5]]], jnp.float32),
+            "z": jnp.asarray([[800.0, 850.0]]),
+            "RT": jnp.asarray(np.tile(np.eye(4, dtype=np.float32) * 3, (1, 2, 1, 1))),
+        }
+        m = match_instances(preds, gts)
+        out = gather_matched(preds, gts, m, keys=("quaternion", "z", "RT"),
+                             fill_missing=True)
+        valid = np.asarray(out["valid"][0])
+        assert valid.tolist() == [True, True]  # missed gt still counted
+        # matched gt keeps the real pred
+        np.testing.assert_array_equal(
+            np.asarray(out["pred_quaternion"][0, 0]), [0.5, 0.5, 0.5, 0.5])
+        # missed gt gets standard pred: quat [1,0,0,0], z=1000, RT=I
+        np.testing.assert_array_equal(
+            np.asarray(out["pred_quaternion"][0, 1]), [1, 0, 0, 0])
+        assert float(out["pred_z"][0, 1]) == 1000.0
+        np.testing.assert_array_equal(
+            np.asarray(out["pred_RT"][0, 1]), np.eye(4))
