@@ -39,10 +39,14 @@ def _masked_mean(x: Array, mask: Array) -> LossOut:
 
 def cross_entropy(mask_logits: Array, gt_mask: Array) -> Array:
     """Mean CE from logits. FPC `CE` and `CCE` are mathematically identical
-    (CrossEntropyLoss == LogSoftmax+NLLLoss); both map here."""
+    (CrossEntropyLoss == LogSoftmax+NLLLoss); both map here.
+
+    One-hot multiply-sum instead of take_along_axis: the gather's backward
+    is a per-pixel scatter-add, which lowers to a sort over H*W on TPU.
+    """
     logp = jax.nn.log_softmax(mask_logits, axis=-1)
-    picked = jnp.take_along_axis(logp, gt_mask[..., None].astype(jnp.int32), axis=-1)
-    return -jnp.mean(picked)
+    onehot = jax.nn.one_hot(gt_mask, mask_logits.shape[-1], dtype=logp.dtype)
+    return -jnp.mean(jnp.sum(logp * onehot, axis=-1))
 
 
 def focal_loss(
