@@ -1,0 +1,48 @@
+"""Trace the stage-1 training step on TPU and print top device ops."""
+
+import collections
+import glob
+
+import numpy as np
+
+
+def main():
+    import dataclasses
+
+    import jax
+
+    from fastposecnn_tpu import config as C
+    from fastposecnn_tpu import constants
+    from fastposecnn_tpu.data.synthetic import SceneConfig, make_batch
+    from fastposecnn_tpu.models import PoseRegressorNet
+    from fastposecnn_tpu.train import optim
+    from fastposecnn_tpu.train.task import create_train_state, make_train_step
+
+    import jax.numpy as jnp
+
+    hp = C.mask_training(BATCH_SIZE=2)
+    net = PoseRegressorNet(num_classes=hp.num_classes)
+    pcfg = C.pipeline_config_from(hp, use_pallas=True)
+    inv_K = np.linalg.inv(constants.INTRINSICS["CAMERA"])
+    opt = optim.make_optimizer(hp)
+    state = create_train_state(net, opt, jax.random.key(0), hp)
+    step = jax.jit(make_train_step(net, opt, hp, pcfg, inv_K))
+    scfg = SceneConfig(height=480, width=640, num_classes=hp.num_classes,
+                       max_instances=hp.MAX_INSTANCES)
+    batch = make_batch(np.random.default_rng(0), scfg, 2)
+    batch = jax.tree.map(jnp.asarray, batch)
+
+    state, logs = step(state, batch, jax.random.key(1))
+    jax.block_until_ready(logs["pose/total_loss"])
+
+    jax.profiler.start_trace("/tmp/jax_trace_train")
+    for i in range(3):
+        state, logs = step(state, batch, jax.random.key(1))
+    jax.block_until_ready(logs["pose/total_loss"])
+    jax.profiler.stop_trace()
+    print("trace:", glob.glob("/tmp/jax_trace_train/**/*.xplane.pb",
+                              recursive=True))
+
+
+if __name__ == "__main__":
+    main()
