@@ -20,7 +20,9 @@ def main():
 
     import jax.numpy as jnp
 
-    hp = C.mask_training(BATCH_SIZE=2)
+    import sys
+    preset = sys.argv[1] if len(sys.argv) > 1 else "MASK_TRAINING"
+    hp = C.PRESETS[preset](BATCH_SIZE=2)
     net = PoseRegressorNet(num_classes=hp.num_classes)
     pcfg = C.pipeline_config_from(hp, use_pallas=True)
     inv_K = np.linalg.inv(constants.INTRINSICS["CAMERA"])
@@ -35,13 +37,12 @@ def main():
     state, logs = step(state, batch, jax.random.key(1))
     jax.block_until_ready(logs["pose/total_loss"])
 
-    jax.profiler.start_trace("/tmp/jax_trace_train")
+    jax.profiler.start_trace("/tmp/jax_trace_train_" + preset)
     for i in range(3):
         state, logs = step(state, batch, jax.random.key(1))
     jax.block_until_ready(logs["pose/total_loss"])
     jax.profiler.stop_trace()
-    print("trace:", glob.glob("/tmp/jax_trace_train/**/*.xplane.pb",
-                              recursive=True))
+    print("trace:", glob.glob("/tmp/jax_trace_train_" + preset + "/**/*.xplane.pb", recursive=True))
 
 
 if __name__ == "__main__":
