@@ -10,8 +10,10 @@ Parity: FPC/evaluate.py:
   joint 5deg5cm / 10deg5cm / 10deg10cm APs (evaluate.py:319-330), plot PNG +
   Excel/CSV export (evaluate.py:313,341).
 
-Error math runs in float64 on host (the reference computes symmetric
-quaternion distance in double, gpu_tensor_funcs.py:797).
+Error math runs in native float64 on host via `fastposecnn_tpu.eval_host`
+(numpy; the reference computes symmetric quaternion distance in double,
+gpu_tensor_funcs.py:797 — jnp would silently downcast to f32 without
+jax_enable_x64, which the TPU runtime does not support).
 """
 
 from __future__ import annotations
@@ -34,7 +36,7 @@ def collect_raw_errors(hp, valid_loader, state, net, pcfg, inv_K,
     import jax
     import jax.numpy as jnp
 
-    from fastposecnn_tpu import geometry
+    from fastposecnn_tpu import eval_host
     from fastposecnn_tpu.ops.matching import gather_matched, match_instances
     from fastposecnn_tpu.pipeline import run_pipeline
 
@@ -73,28 +75,21 @@ def collect_raw_errors(hp, valid_loader, state, net, pcfg, inv_K,
             )
         valid = matched["valid"][:n_real]
         cls = matched["class_ids"][:n_real]
-        # f64 error math on host for metric parity
-        gt_q = matched["gt_quaternion"][:n_real].astype(np.float64)
-        pr_q = matched["pred_quaternion"][:n_real].astype(np.float64)
-        deg = np.asarray(
-            geometry.quat_distance_deg(
-                jnp.asarray(gt_q), jnp.asarray(pr_q),
-                jnp.asarray(matched["symmetric_ids"][:n_real]),
-            )
+        # Native-f64 error math on host for metric parity (eval_host asserts
+        # float64 outputs; gpu_tensor_funcs.py:797 uses .double()).
+        deg = eval_host.quat_distance_deg(
+            matched["gt_quaternion"][:n_real],
+            matched["pred_quaternion"][:n_real],
+            matched["symmetric_ids"][:n_real],
         )
-        iou = np.asarray(
-            geometry.asymmetric_3d_iou(
-                jnp.asarray(matched["gt_RT"][:n_real].astype(np.float64)),
-                jnp.asarray(matched["pred_RT"][:n_real].astype(np.float64)),
-                jnp.asarray(matched["gt_scales"][:n_real].astype(np.float64)),
-                jnp.asarray(matched["pred_scales"][:n_real].astype(np.float64)),
-            )
+        iou = eval_host.asymmetric_3d_iou(
+            matched["gt_RT"][:n_real],
+            matched["pred_RT"][:n_real],
+            matched["gt_scales"][:n_real],
+            matched["pred_scales"][:n_real],
         )
-        off = np.asarray(
-            geometry.offset_error_cm(
-                jnp.asarray(matched["gt_T"][:n_real].astype(np.float64)),
-                jnp.asarray(matched["pred_T"][:n_real].astype(np.float64)),
-            )
+        off = eval_host.offset_error_cm(
+            matched["gt_T"][:n_real], matched["pred_T"][:n_real]
         )
         for c in range(1, num_classes):
             sel = valid & (cls == c)
@@ -211,6 +206,12 @@ def main(argv=None):
 
     hp = C.evaluating()
     hp = C.apply_cli_overrides(hp, args)
+    if hp.CHECKPOINT:
+        # arch fields travel with the weights (pose_regressor.py:516-525);
+        # merge before dataset/model construction (SELECTED_CLASSES filters).
+        from fastposecnn_tpu.train import checkpoint as _ckpt
+
+        hp = _ckpt.merge_arch_from_any(hp.CHECKPOINT, hp)
 
     out_dir = pathlib.Path(args.output)
     out_dir.mkdir(parents=True, exist_ok=True)
@@ -253,7 +254,7 @@ def main(argv=None):
         optimizer = optim.make_optimizer(hp)
         state = create_train_state(net, optimizer, jax.random.key(0), hp)
         if hp.CHECKPOINT:
-            state, hp = ckpt.load_checkpoint(hp.CHECKPOINT, state, hp)
+            state, hp = ckpt.load_any_checkpoint(hp.CHECKPOINT, state, hp)
         pcfg = C.pipeline_config_from(hp)
         inv_K = np.linalg.inv(constants.INTRINSICS[hp.DATASET_NAME])
         raw = collect_raw_errors(hp, loader, state, net, pcfg, inv_K,

@@ -33,6 +33,12 @@ def main(argv=None):
 
     hp = C.inference()
     hp = C.apply_cli_overrides(hp, args)
+    if hp.CHECKPOINT:
+        # arch fields travel with the weights (pose_regressor.py:516-525);
+        # merge before dataset/model construction (SELECTED_CLASSES filters).
+        from fastposecnn_tpu.train import checkpoint as _ckpt
+
+        hp = _ckpt.merge_arch_from_any(hp.CHECKPOINT, hp)
 
     import jax
     import jax.numpy as jnp
@@ -73,7 +79,7 @@ def main(argv=None):
     optimizer = optim.make_optimizer(hp)
     state = create_train_state(net, optimizer, jax.random.key(0), hp)
     if hp.CHECKPOINT:
-        state, hp = ckpt.load_checkpoint(hp.CHECKPOINT, state, hp)
+        state, hp = ckpt.load_any_checkpoint(hp.CHECKPOINT, state, hp)
     pcfg = C.pipeline_config_from(hp)
     inv_K = jnp.asarray(
         np.linalg.inv(constants.INTRINSICS[hp.DATASET_NAME]), jnp.float32

@@ -82,10 +82,14 @@ class Conv3x3GNReLU(nn.Module):
             kernel_init=nn.initializers.he_uniform(),
             name="conv",
         )(x)
-        x = nn.GroupNorm(num_groups=32, dtype=jnp.float32, name="gn")(x)
+        # epsilon=1e-5 matches torch nn.GroupNorm (flax default is 1e-6).
+        x = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=jnp.float32,
+                         name="gn")(x)
         x = nn.relu(x)
         if self.upsample:
-            x = upsample_nearest(x, 2)
+            # smp's Conv3x3GNReLU upsamples bilinear/align_corners=True
+            # (unlike the FPNBlock top-down pathway, which is nearest).
+            x = upsample_bilinear(x, 2, align_corners=True)
         return x
 
 
@@ -141,7 +145,11 @@ class FPNDecoder(nn.Module):
             x = outs[0] + outs[1] + outs[2] + outs[3]
         else:
             x = jnp.concatenate(outs, axis=-1)
-        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        # broadcast over H,W = torch nn.Dropout2d (whole-channel drops),
+        # which is what smp's FPNDecoder applies.
+        x = nn.Dropout(
+            self.dropout, broadcast_dims=(1, 2), deterministic=not train
+        )(x)
         return x
 
 

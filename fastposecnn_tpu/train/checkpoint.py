@@ -11,6 +11,7 @@ ModelCheckpoint (FPC/train.py:298-304) via `save_best`.
 
 from __future__ import annotations
 
+import dataclasses
 import pathlib
 from typing import Any, Optional, Tuple
 
@@ -18,7 +19,7 @@ import jax
 import numpy as np
 import orbax.checkpoint as ocp
 
-from fastposecnn_tpu.config import HParams, merge_from_checkpoint
+from fastposecnn_tpu.config import ARCH_FIELDS, HParams, merge_from_checkpoint
 
 
 def _manager(directory, max_to_keep=5) -> ocp.CheckpointManager:
@@ -65,3 +66,82 @@ def load_checkpoint(
     mgr.close()
     ckpt_hp = HParams.from_json(restored["hparams"])
     return restored["state"], merge_from_checkpoint(hp, ckpt_hp)
+
+
+# -----------------------------------------------------------------------------
+# Reference (torch/Lightning) checkpoint interop
+
+_TORCH_SUFFIXES = (".ckpt", ".pth", ".pt")
+
+
+def is_torch_checkpoint(path) -> bool:
+    p = pathlib.Path(path)
+    return p.is_file() and p.suffix in _TORCH_SUFFIXES
+
+
+def _torch_hyper_parameters(path) -> dict:
+    """Read the 'hyper_parameters' dict a Lightning checkpoint stores
+    (FPC/lib/pose_regressor.py:518)."""
+    import torch
+
+    try:
+        obj = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        # hyper_parameters may hold non-tensor objects (e.g. a Namespace)
+        obj = torch.load(path, map_location="cpu", weights_only=False)
+    if not isinstance(obj, dict):
+        return {}
+    old = obj.get("hyper_parameters", {})
+    if not isinstance(old, dict):
+        old = vars(old) if hasattr(old, "__dict__") else {}
+    return old
+
+
+def merge_arch_from_any(path, hp: HParams) -> HParams:
+    """Merge only the architecture-defining hparams out of ANY checkpoint
+    (orbax dir or torch file) — call BEFORE constructing the model, exactly
+    like the reference's load_from_ckpt (FPC/lib/pose_regressor.py:516-525).
+    """
+    if is_torch_checkpoint(path):
+        old = _torch_hyper_parameters(path)
+        updates = {}
+        for k in ARCH_FIELDS:
+            if k in old and old[k] is not None:
+                v = old[k]
+                if isinstance(v, (list, tuple)):
+                    v = tuple(v)
+                updates[k] = v
+        return dataclasses.replace(hp, **updates)
+    mgr = _manager(path)
+    step = mgr.latest_step()
+    restored = mgr.restore(
+        step, args=ocp.args.Composite(hparams=ocp.args.JsonRestore())
+    )
+    mgr.close()
+    return merge_from_checkpoint(hp, HParams.from_json(restored["hparams"]))
+
+
+def load_any_checkpoint(
+    path, state, hp: HParams, step: Optional[int] = None
+) -> Tuple[Any, HParams]:
+    """Restore weights from either an orbax directory or a reference torch
+    checkpoint file. Torch checkpoints replace params + batch_stats via the
+    full converter (models/weights.py) and leave the optimizer state fresh.
+    """
+    if is_torch_checkpoint(path):
+        from fastposecnn_tpu.models.weights import (
+            load_full_checkpoint,
+            load_state_dict_file,
+        )
+
+        hp = merge_arch_from_any(path, hp)
+        sd = load_state_dict_file(path)
+        variables = {
+            "params": state.params, "batch_stats": state.batch_stats
+        }
+        new_vars = load_full_checkpoint(variables, sd, hp.ENCODER)
+        state = state._replace(
+            params=new_vars["params"], batch_stats=new_vars["batch_stats"]
+        )
+        return state, hp
+    return load_checkpoint(path, state, hp, step=step)

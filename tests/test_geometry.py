@@ -184,3 +184,55 @@ class TestAP:
             )
         )
         np.testing.assert_allclose(ap, [1 / 3, 1.0], atol=1e-9)
+
+
+class TestEvalHostParity:
+    """eval_host (numpy, native f64) must mirror the jnp geometry math.
+
+    Tests run with jax_enable_x64, so the jnp side is genuinely f64 here —
+    a bitwise-meaningful comparison."""
+
+    def test_quat_distance(self, rng):
+        from fastposecnn_tpu import eval_host
+
+        q0 = random_quats(rng, 16).astype(np.float64)
+        q1 = random_quats(rng, 16).astype(np.float64)
+        sym = rng.integers(0, 2, size=16)
+        want = np.asarray(
+            geometry.quat_distance_deg(
+                jnp.asarray(q0), jnp.asarray(q1), jnp.asarray(sym)
+            )
+        )
+        got = eval_host.quat_distance_deg(q0, q1, sym)
+        assert got.dtype == np.float64
+        np.testing.assert_allclose(got, want, atol=1e-12)
+
+    def test_3d_iou_and_offset(self, rng):
+        from fastposecnn_tpu import eval_host
+
+        n = 8
+        q = random_quats(rng, n).astype(np.float64)
+        T = rng.normal(size=(n, 3)) + np.asarray([0, 0, 3.0])
+        R = np.asarray(geometry.quat_to_rotmat(jnp.asarray(q)))
+        RT1 = np.asarray(geometry.assemble_RT(jnp.asarray(R), jnp.asarray(T)))
+        RT2 = np.asarray(
+            geometry.assemble_RT(jnp.asarray(R), jnp.asarray(T + 0.05))
+        )
+        s1 = rng.uniform(0.2, 1.0, size=(n, 3))
+        s2 = s1 * rng.uniform(0.8, 1.2, size=(n, 3))
+        for compat in (False, True):
+            want = np.asarray(
+                geometry.asymmetric_3d_iou(
+                    jnp.asarray(RT1), jnp.asarray(RT2),
+                    jnp.asarray(s1), jnp.asarray(s2), fpc_compat=compat,
+                )
+            )
+            got = eval_host.asymmetric_3d_iou(RT1, RT2, s1, s2,
+                                              fpc_compat=compat)
+            assert got.dtype == np.float64
+            np.testing.assert_allclose(got, want, atol=1e-12)
+        off_want = np.asarray(
+            geometry.offset_error_cm(jnp.asarray(T), jnp.asarray(T + 0.05))
+        )
+        off_got = eval_host.offset_error_cm(T, T + 0.05)
+        np.testing.assert_allclose(off_got, off_want, atol=1e-12)

@@ -100,6 +100,101 @@ class TestFullConversion:
         out = net.apply(merged, x)
         assert np.isfinite(np.asarray(out["mask"])).all()
 
+    def test_full_model_logit_golden(self, rng):
+        """Converted full checkpoint reproduces the torch reference network's
+        logits (encoder + 4 smp FPN decoders + 4 heads) to ~1e-4.
+
+        The torch side is `models.torch_ref.TorchPoseRegressor`, a replica
+        of FPC/lib/pose_regressor.py:575-743 with the released-checkpoint
+        state_dict key layout."""
+        from fastposecnn_tpu.models.torch_ref import TorchPoseRegressor
+        from fastposecnn_tpu.models.weights import load_full_checkpoint
+
+        torch.manual_seed(0)
+        classes = 3
+        tmodel = TorchPoseRegressor(classes=classes).eval()
+        # Non-trivial BN running stats so eval-mode normalization is tested.
+        with torch.no_grad():
+            for m in tmodel.modules():
+                if isinstance(m, torch.nn.BatchNorm2d):
+                    m.running_mean.normal_(0, 0.5)
+                    m.running_var.uniform_(0.5, 1.5)
+        sd = {k: v.numpy() for k, v in tmodel.state_dict().items()}
+
+        x = rng.normal(size=(1, 3, 64, 64)).astype(np.float32)
+        with torch.no_grad():
+            ref = tmodel(torch.from_numpy(x))
+
+        net = PoseRegressorNet(num_classes=classes)
+        x_nhwc = jnp.asarray(x.transpose(0, 2, 3, 1))
+        variables = net.init(jax.random.key(0), x_nhwc)
+        merged = load_full_checkpoint(variables, sd)
+        ours = net.apply(merged, x_nhwc, train=False)
+
+        for key in ("mask", "quaternion", "xy", "z", "scales"):
+            got = np.asarray(ours[key]).transpose(0, 3, 1, 2)
+            want = ref[key].numpy()
+            np.testing.assert_allclose(
+                got, want, atol=2e-4, rtol=1e-4,
+                err_msg=f"logit mismatch in '{key}'",
+            )
+
+    def test_lightning_ckpt_roundtrip(self, rng, tmp_path):
+        """A Lightning-style .ckpt ('model.'-prefixed state_dict +
+        hyper_parameters) loads via load_any_checkpoint: arch fields merge
+        (pose_regressor.py:516-525) and logits match torch."""
+        from fastposecnn_tpu import config as C
+        from fastposecnn_tpu.models.torch_ref import TorchPoseRegressor
+        from fastposecnn_tpu.train import checkpoint as ckpt
+        from fastposecnn_tpu.train import optim
+        from fastposecnn_tpu.train.task import create_train_state
+
+        torch.manual_seed(1)
+        selected = ("bg", "bottle", "bowl")
+        tmodel = TorchPoseRegressor(classes=len(selected)).eval()
+        path = tmp_path / "epoch=9.ckpt"
+        torch.save(
+            {
+                "state_dict": {
+                    f"model.{k}": v for k, v in tmodel.state_dict().items()
+                },
+                "hyper_parameters": {
+                    "MODEL": "PoseRegressor",
+                    "BACKBONE_ARCH": "FPN",
+                    "ENCODER": "resnet18",
+                    "ENCODER_WEIGHTS": "imagenet",
+                    "SELECTED_CLASSES": list(selected),
+                },
+            },
+            path,
+        )
+
+        hp = C.inference()  # default 7-class preset
+        assert ckpt.is_torch_checkpoint(path)
+        hp = ckpt.merge_arch_from_any(path, hp)
+        assert hp.SELECTED_CLASSES == selected  # arch came from the ckpt
+
+        import dataclasses
+
+        hp = dataclasses.replace(hp, IMAGE_HEIGHT=64, IMAGE_WIDTH=64)
+        net = PoseRegressorNet(num_classes=hp.num_classes,
+                               encoder_name=hp.ENCODER)
+        state = create_train_state(
+            net, optim.make_optimizer(hp), jax.random.key(0), hp
+        )
+        state, hp = ckpt.load_any_checkpoint(path, state, hp)
+
+        x = rng.normal(size=(1, 3, 64, 64)).astype(np.float32)
+        with torch.no_grad():
+            want = tmodel(torch.from_numpy(x))["mask"].numpy()
+        got = net.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            jnp.asarray(x.transpose(0, 2, 3, 1)), train=False,
+        )["mask"]
+        np.testing.assert_allclose(
+            np.asarray(got).transpose(0, 3, 1, 2), want, atol=2e-4, rtol=1e-4
+        )
+
     def test_shape_mismatch_raises(self, rng):
         sd = synth_resnet18_state_dict(rng)
         sd["conv1.weight"] = sd["conv1.weight"][:32]  # wrong out channels
