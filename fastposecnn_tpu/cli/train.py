@@ -42,6 +42,8 @@ def main(argv=None):
     parser.add_argument("--epochs", type=int, default=None)
     parser.add_argument("--no_tb", action="store_true")
     parser.add_argument("--resume", default=None)
+    parser.add_argument("--no_augment", action="store_true",
+                        help="disable the per-split augmentation pipelines")
     C.add_cli_overrides(parser, C.HParams())
     args = parser.parse_args(argv)
 
@@ -81,8 +83,17 @@ def main(argv=None):
         selected_classes=hp.SELECTED_CLASSES,
         max_instances=hp.MAX_INSTANCES,
     )
-    train_ds = NOCSDataset(train_dir, max_size=hp.TRAIN_SIZE, **common)
-    valid_ds = NOCSDataset(valid_dir, max_size=hp.VALID_SIZE, **common)
+    # Augmentation per split like the reference datamodule
+    # (FPC/tools/dataset.py:578-587): photometric train pipeline, gaussian
+    # noise only for valid; --no_augment disables both.
+    train_ds = NOCSDataset(
+        train_dir, max_size=hp.TRAIN_SIZE,
+        augmentation=None if args.no_augment else "train", **common,
+    )
+    valid_ds = NOCSDataset(
+        valid_dir, max_size=hp.VALID_SIZE,
+        augmentation=None if args.no_augment else "valid", **common,
+    )
     train_loader = PrefetchLoader(
         train_ds, hp.BATCH_SIZE, shuffle=not hp.DETERMINISTIC,
         num_workers=hp.NUM_WORKERS,

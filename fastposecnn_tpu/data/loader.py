@@ -59,6 +59,9 @@ class PrefetchLoader:
     def __iter__(self) -> Iterator[Optional[dict]]:
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
+        if hasattr(self.dataset, "epoch"):
+            # augmentation draws vary per epoch (data/nocs.py _read_image)
+            self.dataset.epoch = self.epoch
 
         def producer():
             with ThreadPoolExecutor(self.num_workers) as pool:

@@ -90,6 +90,8 @@ class NOCSDataset:
         image_size: Optional[tuple] = None,  # (H, W) crop/pad target
         normalize: bool = True,
         use_native: Optional[bool] = None,  # None -> auto-detect
+        augmentation: Optional[str] = None,  # None | 'train' | 'valid'
+        aug_seed: int = 0,
     ):
         self.dataset_dir = pathlib.Path(dataset_dir)
         self.dataset_name = dataset_name
@@ -111,15 +113,26 @@ class NOCSDataset:
 
             use_native = native_loader.available()
         self.use_native = use_native
+        # Augmentation is applied inside __getitem__ pre-normalization,
+        # selected per split at dataset build — exactly the reference recipe
+        # (FPC/tools/dataset.py:242-245, 578-587). `epoch` is advanced by
+        # PrefetchLoader so draws differ across epochs but stay reproducible.
+        if augmentation not in (None, "train", "valid"):
+            raise ValueError(f"unknown augmentation mode {augmentation!r}")
+        self.augmentation = augmentation
+        self.aug_seed = aug_seed
+        self.epoch = 0
         self.images_fps = self._scan(self.dataset_dir, max_size)
 
-    def _read_image(self, fp) -> np.ndarray:
-        """Decode + (optionally) ImageNet-normalize the color image, using
-        the native libpng path when built (native/fpcnn_native.cpp)."""
+    def _read_image(self, fp, index: int = 0) -> np.ndarray:
+        """Decode, augment (pre-normalization, FPC dataset.py:242-257), and
+        (optionally) ImageNet-normalize the color image, using the native
+        libpng path when built (native/fpcnn_native.cpp)."""
         if self.use_native:
             from fastposecnn_tpu.data import native_loader as nl
 
-            if self.normalize:
+            if self.normalize and not self.augmentation:
+                # fused decode+normalize fast path (no raw pixels needed)
                 h, w, c, bd = nl.png_info(fp)
                 if c in (3, 4) and bd == 8:
                     return nl.decode_normalized(fp, h, w)
@@ -132,6 +145,18 @@ class NOCSDataset:
                 np.asarray(Image.open(fp).convert("RGB")).astype(np.float32)
                 / 255.0
             )
+        if self.augmentation:
+            from fastposecnn_tpu.data import augment as A
+
+            # Reproducible per (seed, epoch, sample): differs across epochs,
+            # stable within one (thread-safe — no shared rng state).
+            aug_rng = np.random.default_rng(
+                (self.aug_seed, self.epoch, index)
+            )
+            if self.augmentation == "train":
+                img = A.augment_pose_training(img, aug_rng)
+            else:
+                img = A.augment_validation(img, aug_rng)
         if self.normalize:
             img = (img - IMAGENET_MEAN) / IMAGENET_STD
         return img
@@ -173,7 +198,7 @@ class NOCSDataset:
     # -- sample loading ---------------------------------------------------
     def __getitem__(self, i: int) -> Optional[Dict[str, np.ndarray]]:
         fp = self.images_fps[i]
-        image = self._read_image(fp)
+        image = self._read_image(fp, index=i)
 
         mask_fp = str(fp).replace("_color.png", "_mask.png")
         mask_raw = np.asarray(Image.open(mask_fp))

@@ -74,3 +74,46 @@ class TestNOCSRoundtrip:
             agg = s["agg"]
             n = int(agg["valid"].sum())
             assert (agg["class_ids"][:n] == 1).all()
+
+
+class TestAugmentationWiring:
+    """Augmentation is applied inside __getitem__ (FPC dataset.py:242-245)
+    and varies per epoch but is reproducible within one."""
+
+    def test_train_augmentation_varies_by_epoch(self, tmp_path):
+        cfg = SceneConfig(height=60, width=80)
+        write_synthetic_nocs(tmp_path, num_samples=2, scene_cfg=cfg)
+        plain = CAMERADataset(tmp_path, max_instances=8, normalize=False)
+        aug = CAMERADataset(tmp_path, max_instances=8, normalize=False,
+                            augmentation="train")
+        base = plain[0]["image"]
+        aug.epoch = 0
+        e0 = aug[0]["image"]
+        e0_again = aug[0]["image"]
+        aug.epoch = 1
+        e1 = aug[0]["image"]
+        assert not np.allclose(e0, base)       # augmentation happened
+        np.testing.assert_array_equal(e0, e0_again)  # reproducible in-epoch
+        assert not np.allclose(e0, e1)         # differs across epochs
+        # GT untouched by photometric augmentation
+        np.testing.assert_array_equal(
+            aug[0]["mask"], plain[0]["mask"]
+        )
+
+    def test_valid_mode_is_noise_only_and_loader_advances_epoch(
+        self, tmp_path
+    ):
+        from fastposecnn_tpu.data.loader import PrefetchLoader
+
+        cfg = SceneConfig(height=60, width=80)
+        write_synthetic_nocs(tmp_path, num_samples=2, scene_cfg=cfg)
+        ds = CAMERADataset(tmp_path, max_instances=8, normalize=False,
+                           augmentation="valid")
+        plain = CAMERADataset(tmp_path, max_instances=8, normalize=False)
+        delta = ds[0]["image"] - plain[0]["image"]
+        assert 0 < np.abs(delta).max() < 0.2   # small gaussian noise
+        loader = PrefetchLoader(ds, 2, shuffle=False, num_workers=1)
+        first = [b["image"].copy() for b in loader if b is not None]
+        second = [b["image"].copy() for b in loader if b is not None]
+        assert ds.epoch == 1  # loader propagated its epoch
+        assert not np.allclose(first[0], second[0])
