@@ -86,10 +86,15 @@ def main(argv=None):
     )
     intrinsics = constants.INTRINSICS[hp.DATASET_NAME]
 
+    # Six reference stages (FPC/lib/pose_regressor.py:43-48 timer instances,
+    # report at inference.py:165-166) + the fused program actually served.
     timers = {
         "forward": StageTimer("forward"),
         "model": StageTimer("model"),
-        "pipeline": StageTimer("agg+hough+rt"),
+        "class_compress": StageTimer("Class Compression"),
+        "aggregation": StageTimer("Aggregation"),
+        "hough_voting": StageTimer("Hough Voting"),
+        "rt_calculation": StageTimer("RT Calculation"),
     }
 
     @jax.jit
@@ -99,14 +104,28 @@ def main(argv=None):
         )
         return run_pipeline(logits, key, pcfg, inv_K)
 
-    model_only = jax.jit(
-        lambda p, bs, im: net.apply(
-            {"params": p, "batch_stats": bs}, im, train=False
-        )
-    )
-    pipeline_only = jax.jit(
-        lambda logits, key: run_pipeline(logits, key, pcfg, inv_K)
-    )
+    from fastposecnn_tpu import pipeline as PL
+
+    # Stage-timing mode jits each stage separately (the production path is
+    # the single fused program above; separate programs lose XLA fusion
+    # across stage boundaries, so the fused 'forward' is the serving number).
+    stage_fns = {
+        "model": jax.jit(
+            lambda p, bs, im: net.apply(
+                {"params": p, "batch_stats": bs}, im, train=False
+            )
+        ),
+        "class_compress": jax.jit(PL.stage_class_compress),
+        "aggregation": jax.jit(
+            lambda cat: PL.stage_aggregate(cat, pcfg)
+        ),
+        "hough_voting": jax.jit(
+            lambda key, agg: PL.stage_hough_voting(key, agg, pcfg)
+        ),
+        "rt_calculation": jax.jit(
+            lambda agg: PL.stage_rt_calculation(agg, pcfg, inv_K)
+        ),
+    }
 
     out_dir = pathlib.Path(args.output) if args.output else None
     if out_dir:
@@ -119,14 +138,14 @@ def main(argv=None):
     trace_cm = profiler_trace(args.trace) if args.trace else contextlib.nullcontext()
     with trace_cm:
         _inference_loop(
-            loader, timers, fused, model_only, pipeline_only, state,
+            loader, timers, fused, stage_fns, state,
             out_dir, args, hp, intrinsics,
         )
 
     report_runtime(timers)
 
 
-def _inference_loop(loader, timers, fused, model_only, pipeline_only, state,
+def _inference_loop(loader, timers, fused, stage_fns, state,
                     out_dir, args, hp, intrinsics):
     import jax
     import numpy as np
@@ -147,12 +166,27 @@ def _inference_loop(loader, timers, fused, model_only, pipeline_only, state,
                 fused(state.params, state.batch_stats, db["image"], key)
             )
         if args.stage_timing:
+            # Per-stage breakdown matching the reference's six timers
+            # (FPC/lib/pose_regressor.py:43-48): each stage is its own
+            # jitted program here, fed the previous stage's output.
             with timers["model"].measure():
                 logits = jax.block_until_ready(
-                    model_only(state.params, state.batch_stats, db["image"])
+                    stage_fns["model"](
+                        state.params, state.batch_stats, db["image"]
+                    )
                 )
-            with timers["pipeline"].measure():
-                jax.block_until_ready(pipeline_only(logits, key))
+            with timers["class_compress"].measure():
+                cat = jax.block_until_ready(
+                    stage_fns["class_compress"](logits)
+                )
+            with timers["aggregation"].measure():
+                agg = jax.block_until_ready(stage_fns["aggregation"](cat))
+            with timers["hough_voting"].measure():
+                agg = jax.block_until_ready(
+                    stage_fns["hough_voting"](key, agg)
+                )
+            with timers["rt_calculation"].measure():
+                jax.block_until_ready(stage_fns["rt_calculation"](agg))
 
         if out_dir and bi < args.draw:
             agg = jax.device_get(out["aggregated"])

@@ -99,6 +99,9 @@ def _camera_to_world(points: np.ndarray, RT: np.ndarray) -> np.ndarray:
     return world[..., :-1, :] / world[..., -1:, :]
 
 
+camera_to_world = _camera_to_world  # public alias (used by utils/draw.py)
+
+
 def asymmetric_3d_iou(
     RT_1: np.ndarray, RT_2: np.ndarray,
     scales_1: np.ndarray, scales_2: np.ndarray,

@@ -47,6 +47,72 @@ class PipelineConfig:
     use_pallas: Optional[bool] = None  # None -> auto (TPU yes, CPU no)
 
 
+def stage_class_compress(logits: Dict[str, jax.Array]) -> Dict[str, Any]:
+    """Stage: class compression (FPC pose_regressor.py:446-457)."""
+    return class_compress(logits)
+
+
+def stage_aggregate(
+    categorical: Dict[str, Any], config: PipelineConfig
+) -> Dict[str, Any]:
+    """Stage: CC labeling + per-instance aggregation
+    (FPC pose_regressor.py:459-465)."""
+    return aggregate_instances(
+        categorical,
+        max_instances=config.max_instances,
+        cc_max_iters=config.cc_max_iters,
+        use_pallas=config.use_pallas,
+    )
+
+
+def stage_hough_voting(
+    key: jax.Array, aggregated: Dict[str, Any], config: PipelineConfig
+) -> Dict[str, Any]:
+    """Stage: hough voting (FPC pose_regressor.py:467-473)."""
+    if config.hv_implementation == "soft":
+        from fastposecnn_tpu.ops.voting_soft import soft_hough_vote
+
+        return soft_hough_vote(
+            key,
+            aggregated,
+            max_points=config.max_points,
+            num_hypotheses=config.hv_num_hypotheses,
+            prun_method=config.prun_method,
+            prun_drop=config.prun_outlier_drop,
+            prun_replacement=config.prun_replacement,
+            zscore_threshold=config.prun_zscore_threshold,
+            iqr_multiplier=config.iqr_multiplier,
+            in_mask_multiplier=config.hv_in_mask_multiplier,
+        )
+    return hough_vote(
+        key,
+        aggregated,
+        max_points=config.max_points,
+        round_hyp_num=config.hv_num_hypotheses,
+        inlier_thresh=config.hv_inlier_thresh,
+        confidence=config.hv_confidence,
+        max_iter=config.hv_max_iter,
+        adaptive=config.hv_adaptive,
+        sampler=config.hv_sampler,
+        use_pallas=config.use_pallas,
+    )
+
+
+def stage_rt_calculation(
+    aggregated: Dict[str, Any],
+    config: PipelineConfig,
+    inv_intrinsics: jax.Array,
+) -> Dict[str, Any]:
+    """Stage: RT reconstruction (FPC pose_regressor.py:475-481)."""
+    R, T, RT = geometry.batch_get_RT(
+        aggregated["quaternion"],
+        aggregated["xy"],
+        aggregated["z"][..., None],
+        inv_intrinsics,
+    )
+    return dict(aggregated, R=R, T=T, RT=RT)
+
+
 def run_pipeline(
     logits: Dict[str, jax.Array],
     key: jax.Array,
@@ -59,53 +125,15 @@ def run_pipeline(
     FPC/lib/pose_regressor.py:763-768 ('aggregated' is None when aggregation
     is off, e.g. the MASK_TRAINING preset, FPC/config.py:116-119).
     """
-    categorical = class_compress(logits)
+    categorical = stage_class_compress(logits)
     aggregated = None
     if config.perform_aggregation:
-        aggregated = aggregate_instances(
-            categorical,
-            max_instances=config.max_instances,
-            cc_max_iters=config.cc_max_iters,
-            use_pallas=config.use_pallas,
-        )
+        aggregated = stage_aggregate(categorical, config)
         if config.perform_hough_voting:
-            if config.hv_implementation == "soft":
-                from fastposecnn_tpu.ops.voting_soft import soft_hough_vote
-
-                aggregated = soft_hough_vote(
-                    key,
-                    aggregated,
-                    max_points=config.max_points,
-                    num_hypotheses=config.hv_num_hypotheses,
-                    prun_method=config.prun_method,
-                    prun_drop=config.prun_outlier_drop,
-                    prun_replacement=config.prun_replacement,
-                    zscore_threshold=config.prun_zscore_threshold,
-                    iqr_multiplier=config.iqr_multiplier,
-                    in_mask_multiplier=config.hv_in_mask_multiplier,
-                )
-            else:
-                aggregated = hough_vote(
-                    key,
-                    aggregated,
-                    max_points=config.max_points,
-                    round_hyp_num=config.hv_num_hypotheses,
-                    inlier_thresh=config.hv_inlier_thresh,
-                    confidence=config.hv_confidence,
-                    max_iter=config.hv_max_iter,
-                    adaptive=config.hv_adaptive,
-                    sampler=config.hv_sampler,
-                    use_pallas=config.use_pallas,
-                )
+            aggregated = stage_hough_voting(key, aggregated, config)
             if config.perform_rt_calculation:
-                R, T, RT = geometry.batch_get_RT(
-                    aggregated["quaternion"],
-                    aggregated["xy"],
-                    aggregated["z"][..., None],
-                    inv_intrinsics,
-                )
-                aggregated = dict(
-                    aggregated, R=R, T=T, RT=RT
+                aggregated = stage_rt_calculation(
+                    aggregated, config, inv_intrinsics
                 )
     return {
         "logits": logits,

@@ -13,18 +13,20 @@ import numpy as np
 
 import jax.numpy as jnp
 
-from fastposecnn_tpu import geometry
+from fastposecnn_tpu import eval_host, geometry
 
 
 def project_pts(pts3d: np.ndarray, RT: np.ndarray, intrinsics: np.ndarray):
-    """Object-frame [3, N] -> int pixel [N, 2] via inv(RT) then K."""
-    px = np.asarray(
-        geometry.project_to_image(
-            jnp.asarray(pts3d, jnp.float64),
-            jnp.asarray(RT, jnp.float64),
-            jnp.asarray(intrinsics, jnp.float64),
-        )
+    """Object-frame [3, N] -> int pixel [N, 2] via inv(RT) then K.
+
+    Host numpy (f64) — drawing runs on host and jnp f64 needs the x64 flag.
+    """
+    cam = eval_host.camera_to_world(
+        np.asarray(pts3d, np.float64), np.asarray(RT, np.float64)
     )
+    proj = np.einsum("ij,...jn->...in", np.asarray(intrinsics, np.float64),
+                     cam)
+    px = proj[..., :2, :] / proj[..., 2:3, :]
     return px.T.astype(np.int32)
 
 
