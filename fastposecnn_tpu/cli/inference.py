@@ -145,6 +145,23 @@ def main(argv=None):
     report_runtime(timers)
 
 
+def _hough_cloud_panel(out, agg):
+    """Hypothesis-cloud overlay for the first valid instance
+    (FPC/tools/visualize.py:296-349)."""
+    import numpy as np
+
+    from fastposecnn_tpu.utils import visualize as vz
+
+    valid = np.asarray(agg["valid"][0])
+    slot = int(np.argmax(valid)) if valid.any() else 0
+    return vz.visualize_hough_voting(
+        np.asarray(out["categorical"]["mask"][0]),
+        np.asarray(agg["hypothesis"][0][slot]),
+        np.asarray(agg.get("pruned_hypothesis", agg["hypothesis"])[0][slot]),
+        np.asarray(agg["xy"][0][slot]),
+    )
+
+
 def _inference_loop(loader, timers, fused, stage_fns, state,
                     out_dir, args, hp, intrinsics):
     import jax
@@ -212,6 +229,7 @@ def _inference_loop(loader, timers, fused, stage_fns, state,
                 hough=vz.visualize_hypothesis(
                     img, agg["xy"][0], agg["valid"][0]
                 ),
+                hough_cloud=_hough_cloud_panel(out, agg),
             )
             fig.savefig(str(out_dir / f"{bi:04d}.png"))
             import matplotlib.pyplot as plt

@@ -457,8 +457,11 @@ def ransac_vote_centers(
     adaptive: bool = True,
     use_pallas: Optional[bool] = None,
     interpret: bool = False,
-) -> Tuple[jax.Array, jax.Array]:
-    """Returns (centers [M, 2], win_ratio [M]).
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Returns (centers [M, 2], win_ratio [M],
+    hypotheses [M, round_hyp_num, 2] — the last voting round's cloud,
+    surfaced for the hough visualization / matching keys the reference
+    stores at hough_voting.py:61).
 
     Instances with fewer than `min_num` foreground pixels produce (0, 0)
     centers (ransac_voting_gpu.py:535-539).
@@ -497,10 +500,10 @@ def ransac_vote_centers(
         )
         centers = refine_centers(best_pts, pts, dirs, pvalid, inlier_thresh)
         centers = jnp.where(active[:, None], centers, 0.0)
-        return centers, best_ratio
+        return centers, best_ratio, hyps
 
     def round_body(state):
-        k, best_pts, best_ratio, it = state
+        k, best_pts, best_ratio, _, it = state
         k, k_hyp = jax.random.split(k)
         hyps = generate_hypotheses(k_hyp, s_pts, s_dirs, round_hyp_num)
         counts = vote_counts(
@@ -514,10 +517,10 @@ def ransac_vote_centers(
         better = ratio > best_ratio
         best_pts = jnp.where(better[:, None], win_pts, best_pts)
         best_ratio = jnp.maximum(best_ratio, ratio)
-        return k, best_pts, best_ratio, it + 1
+        return k, best_pts, best_ratio, hyps, it + 1
 
     def round_cond(state):
-        _, _, best_ratio, it = state
+        _, _, best_ratio, _, it = state
         hyp_num = (it * round_hyp_num).astype(jnp.float32)
         conf = 1.0 - (1.0 - best_ratio**2) ** hyp_num
         done = jnp.where(active, conf > confidence, True)
@@ -527,13 +530,16 @@ def ransac_vote_centers(
         key,
         jnp.zeros((m, 2), jnp.float32),
         jnp.zeros((m,), jnp.float32),
+        jnp.zeros((m, round_hyp_num, 2), jnp.float32),
         jnp.int32(0),
     )
-    _, best_pts, best_ratio, _ = lax.while_loop(round_cond, round_body, init)
+    _, best_pts, best_ratio, last_hyps, _ = lax.while_loop(
+        round_cond, round_body, init
+    )
 
     centers = refine_centers(best_pts, pts, dirs, pvalid, inlier_thresh)
     centers = jnp.where(active[:, None], centers, 0.0)
-    return centers, best_ratio
+    return centers, best_ratio, last_hyps
 
 
 def hough_vote(
@@ -551,9 +557,11 @@ def hough_vote(
 ) -> dict:
     """Attach voted 2D centers to the aggregation payload.
 
-    Parity: FPC/lib/hough_voting.py:41-63 (`HoughVotingLayer.forward`): stores
-    the winning center under 'xy' (the reference also mirrors it under
-    'hypothesis'/'pruned_hypothesis', matching.py keys).
+    Parity: FPC/lib/hough_voting.py:41-63 (`HoughVotingLayer.forward`): the
+    winning center goes under 'xy'; 'hypothesis'/'pruned_hypothesis' carry
+    the hypothesis cloud (the reference's v3 path stores the winner under
+    both, hough_voting.py:61 — here the last round's full cloud is exposed,
+    which is what the hough visualization actually wants to show).
     """
     b, n = agg["valid"].shape
     k_sample, k_vote = jax.random.split(key)
@@ -564,7 +572,7 @@ def hough_vote(
         k_sample, agg["instance_masks"], agg["xy_dense"], max_points
     )
     m = b * n
-    centers, ratio = ransac_vote_centers(
+    centers, ratio, hyps = ransac_vote_centers(
         k_vote,
         pts.reshape(m, max_points, 2),
         dirs.reshape(m, max_points, 2),
@@ -582,4 +590,6 @@ def hough_vote(
     out = dict(agg)
     out["xy"] = centers.reshape(b, n, 2)
     out["win_ratio"] = ratio.reshape(b, n)
+    out["hypothesis"] = hyps.reshape(b, n, round_hyp_num, 2)
+    out["pruned_hypothesis"] = out["hypothesis"]
     return out

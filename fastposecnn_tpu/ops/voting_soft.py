@@ -167,8 +167,10 @@ def soft_vote_centers(
     iqr_multiplier: float = 1.5,
     in_mask_multiplier: float = 3.0,
     pt_valid: Optional[jax.Array] = None,
-) -> Tuple[jax.Array, jax.Array]:
-    """Full soft-voting path. Returns (centers [M, 2], hypotheses [M, H, 2])."""
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Full soft-voting path. Returns (centers [M, 2],
+    raw hypotheses [M, H, 2], pruned hypotheses [M, H, 2]) — the raw/pruned
+    pair feeds the hough visualization (FPC hough_voting.py:61 keys)."""
     m, p, _ = pts.shape
     if pt_valid is None:
         pt_valid = jnp.ones((m, p), bool)
@@ -185,7 +187,7 @@ def soft_vote_centers(
     total = jnp.maximum(jnp.sum(weights, axis=1, keepdims=True), 1e-8)
     centers = jnp.sum(pruned * (weights / total)[..., None], axis=1)
     centers = jnp.where(active[:, None], centers, 0.0)
-    return centers, pruned
+    return centers, hyps, pruned
 
 
 def soft_hough_vote(
@@ -202,7 +204,7 @@ def soft_hough_vote(
         k_sample, agg["instance_masks"], agg["xy_dense"], max_points
     )
     m = b * n
-    centers, hyps = soft_vote_centers(
+    centers, hyps, pruned = soft_vote_centers(
         k_vote,
         pts.reshape(m, max_points, 2),
         dirs.reshape(m, max_points, 2),
@@ -214,4 +216,5 @@ def soft_hough_vote(
     out = dict(agg)
     out["xy"] = centers.reshape(b, n, 2)
     out["hypothesis"] = hyps.reshape(b, n, num_hypotheses, 2)
+    out["pruned_hypothesis"] = pruned.reshape(b, n, num_hypotheses, 2)
     return out

@@ -102,3 +102,78 @@ class TestVizSmoke:
         plt.close(fig)
         out = save_aps(tmp_path / "t.xlsx", thr, aps, ["bottle", "mean"])
         assert out.exists()
+
+
+class TestVizFamilies:
+    """New visualization families (FPC visualize.py:50-292, 296-399,
+    1045-1139, 1272-1349)."""
+
+    def test_dense_colorizers_shapes(self, rng):
+        from fastposecnn_tpu.utils import visualize as vz
+
+        h, w = 24, 32
+        quat = rng.normal(size=(h, w, 4)).astype(np.float32)
+        quat[:5] = 0  # background rows
+        out = vz.colorize_quaternion(quat)
+        assert out.shape == (h, w, 3)
+        np.testing.assert_array_equal(out[:5], 0.0)  # bg -> black
+        assert vz.colorize_quaternion(quat, bg="white")[:5].min() == 1.0
+        assert vz.colorize_z(rng.random((h, w))).shape == (h, w, 3)
+        assert vz.colorize_scales(rng.random((h, w, 3))).shape == (h, w, 3)
+        assert vz.colorize_xy(rng.random((h, w, 2))).shape == (h, w, 3)
+        mask = (rng.random((h, w)) > 0.5).astype(np.int32)
+        ang = vz.colorize_xy_angle(mask, rng.normal(size=(h, w, 2)))
+        np.testing.assert_array_equal(ang[mask == 0], 0.0)
+
+    def test_hough_voting_overlay(self, rng):
+        from fastposecnn_tpu.utils import visualize as vz
+
+        mask = np.zeros((32, 32), np.float32)
+        mask[8:20, 8:20] = 1.0
+        hyp = rng.uniform(0, 32, size=(16, 2))
+        hyp[0] = (-40, 90)  # out of frame -> clamped visible
+        img = vz.visualize_hough_voting(mask, hyp, hyp[:8], np.r_[14.0, 14.0])
+        assert img.shape == (32, 32, 3)
+        # winner drawn red at (14,14)
+        np.testing.assert_array_equal(img[14, 14], (1.0, 0.0, 0.0))
+        assert (img[..., 2] == 1).any()  # some blue hypothesis pixels
+
+    def test_quaternion_quiver_and_qv_mult(self):
+        from fastposecnn_tpu.utils import visualize as vz
+
+        # 90-degree rotation about z (xyzw): x-axis -> y-axis
+        q = np.asarray([0.0, 0.0, np.sin(np.pi / 4), np.cos(np.pi / 4)])
+        r = vz.qv_mult(q, np.asarray([1.0, 0.0, 0.0]))
+        np.testing.assert_allclose(r, [0.0, 1.0, 0.0], atol=1e-12)
+        fig = vz.plot_quaternions(np.stack([q, q]))
+        assert fig is not None
+        import matplotlib.pyplot as plt
+
+        plt.close(fig)
+
+    def test_compare_all_performance_grid(self, rng):
+        from fastposecnn_tpu.utils import visualize as vz
+
+        h, w, n = 24, 32, 3
+        cat = {
+            "mask": rng.integers(0, 3, size=(h, w)),
+            "z": rng.random((h, w)).astype(np.float32),
+            "scales": rng.random((h, w, 3)).astype(np.float32),
+            "quaternion": rng.normal(size=(h, w, 4)).astype(np.float32),
+            "xy": rng.normal(size=(h, w, 2)).astype(np.float32),
+        }
+        agg = {
+            "valid": np.asarray([True, False, False]),
+            "hypothesis": rng.uniform(0, 30, size=(n, 8, 2)),
+            "pruned_hypothesis": rng.uniform(0, 30, size=(n, 8, 2)),
+            "xy": rng.uniform(0, 30, size=(n, 2)),
+        }
+        figs = vz.compare_all_performance(
+            rng.random((h, w, 3)), cat, num_classes=3,
+            gt_mask=cat["mask"], aggregated=agg,
+        )
+        assert len(figs) == 3
+        import matplotlib.pyplot as plt
+
+        for f in figs:
+            plt.close(f)

@@ -104,7 +104,7 @@ class TestRansacCenter:
             jnp.asarray(field)[None],
             max_points=256,
         )
-        centers, ratio = ransac_vote_centers(
+        centers, ratio, _ = ransac_vote_centers(
             jax.random.key(1),
             pts.reshape(1, 256, 2),
             dirs.reshape(1, 256, 2),
@@ -125,7 +125,7 @@ class TestRansacCenter:
             jnp.asarray(field)[None],
             max_points=512,
         )
-        centers, _ = ransac_vote_centers(
+        centers, _, _ = ransac_vote_centers(
             jax.random.key(3),
             pts.reshape(1, 512, 2),
             dirs.reshape(1, 512, 2),
@@ -145,7 +145,7 @@ class TestRansacCenter:
             jnp.asarray(field)[None],
             max_points=64,
         )
-        centers, ratio = ransac_vote_centers(
+        centers, ratio, _ = ransac_vote_centers(
             jax.random.key(1),
             pts.reshape(1, 64, 2),
             dirs.reshape(1, 64, 2),
@@ -167,7 +167,7 @@ class TestRansacCenter:
         npts = npts.reshape(1)
 
         def loss(d):
-            c, _ = ransac_vote_centers(
+            c, _, _ = ransac_vote_centers(
                 jax.random.key(1), pts, d, npts, jnp.asarray([True]),
                 round_hyp_num=32, max_iter=3,
             )
