@@ -107,28 +107,73 @@ def rt_to_quat(RT: np.ndarray, normalize: bool = True):
 
 
 def parse_meta_txt(path) -> Dict[int, Dict]:
-    """Parse NOCS `*_meta.txt`: lines `inst_id class_id [model_id ...]`."""
+    """Parse NOCS `*_meta.txt`.
+
+    CAMERA lines: `inst_id class_id symmetry_id reference_id`
+    (create_meta+.py:170-185); REAL lines: `inst_id class_id model_name`
+    (create_meta+.py:310-320). All tokens after class_id are kept in
+    'model_tokens'.
+    """
     out = {}
     for line in pathlib.Path(path).read_text().splitlines():
         parts = line.split()
         if len(parts) < 2:
             continue
         iid, cls = int(parts[0]), int(parts[1])
-        out[iid] = {"class_id": cls, "model": parts[2] if len(parts) > 2 else None}
+        out[iid] = {
+            "class_id": cls,
+            "model": parts[2] if len(parts) > 2 else None,
+            "model_tokens": tuple(parts[2:]),
+        }
     return out
+
+
+def obj_model_scale(
+    obj_models_dir, model_tokens, dataset_name: str = "CAMERA"
+) -> Optional[np.ndarray]:
+    """Per-instance 3D-bbox scale from the object-model library.
+
+    Parity (FPC/tools/create_meta+.py):
+      CAMERA (:170-185): bbox.txt at `<dir>/<symmetry_id>/<reference_id>/
+        bbox.txt` holds two corner rows; scale = bbox[0] - bbox[1].
+      REAL (:310-320): `<dir>/<model_name>.txt` holds one 3-vector,
+        L2-normalized at extraction.
+    Returns None when the file is absent (caller falls back).
+    """
+    if obj_models_dir is None or not model_tokens:
+        return None
+    d = pathlib.Path(obj_models_dir)
+    if dataset_name == "REAL":
+        fp = d / f"{model_tokens[0]}.txt"
+        if not fp.exists():
+            return None
+        v = np.loadtxt(str(fp), dtype=np.float64).reshape(-1)[:3]
+        return v / np.linalg.norm(v)
+    # CAMERA: needs symmetry_id + reference_id
+    if len(model_tokens) < 2:
+        return None
+    fp = d / model_tokens[0] / model_tokens[1] / "bbox.txt"
+    if not fp.exists():
+        return None
+    bbox = np.loadtxt(str(fp), dtype=np.float64)
+    return bbox[0, :] - bbox[1, :]
 
 
 def create_meta_plus_for_sample(
     color_fp: pathlib.Path,
     intrinsics: np.ndarray,
     model_scales: Optional[Dict[str, np.ndarray]] = None,
+    obj_models_dir=None,
+    dataset_name: str = "CAMERA",
 ) -> Optional[dict]:
     """Build one meta+ dict from the raw NOCS files next to `color_fp`.
 
     Requires `*_mask.png`, `*_coord.png`, `*_depth.png`, `*_meta.txt`.
-    `model_scales` maps model id -> [3] bbox extents (from obj bbox.txt
-    files); when absent, scales fall back to the NOCS-coord extent of the
-    instance (create_meta+.py derives them from obj_models, 170-185).
+    Scale source priority (create_meta+.py:170-185, 310-320):
+      1. `obj_models_dir` — the NOCS obj_models library (bbox.txt files,
+         CAMERA/REAL layouts per `obj_model_scale`);
+      2. `model_scales` — explicit model-id -> [3] extents mapping;
+      3. fallback: the NOCS-coord extent of the instance's visible points.
     """
     from PIL import Image
 
@@ -166,9 +211,12 @@ def create_meta_plus_for_sample(
             continue
         s, RT = res
         quat, _T, factor = rt_to_quat(RT.copy())
-        if model_scales and info["model"] in (model_scales or {}):
+        scales = obj_model_scale(
+            obj_models_dir, info["model_tokens"], dataset_name
+        )
+        if scales is None and model_scales and info["model"] in model_scales:
             scales = np.asarray(model_scales[info["model"]], np.float64)
-        else:
+        if scales is None:
             pts = coord[imask] - 0.5
             scales = (pts.max(axis=0) - pts.min(axis=0)) * s
         meta["instance_dict"][str(iid)] = info["class_id"]
@@ -182,7 +230,8 @@ def create_meta_plus_for_sample(
 
 
 def create_meta_plus_dataset(root, intrinsics, model_scales=None,
-                             overwrite=False) -> int:
+                             overwrite=False, obj_models_dir=None,
+                             dataset_name: str = "CAMERA") -> int:
     """Walk a raw NOCS tree and write `*_meta+.json` next to each color
     image (create_meta+.py:602-696). Returns number written."""
     root = pathlib.Path(root)
@@ -191,7 +240,10 @@ def create_meta_plus_dataset(root, intrinsics, model_scales=None,
         out_fp = pathlib.Path(str(color_fp).replace("_color.png", "_meta+.json"))
         if out_fp.exists() and not overwrite:
             continue
-        meta = create_meta_plus_for_sample(color_fp, intrinsics, model_scales)
+        meta = create_meta_plus_for_sample(
+            color_fp, intrinsics, model_scales,
+            obj_models_dir=obj_models_dir, dataset_name=dataset_name,
+        )
         if meta is None:
             continue
         out_fp.write_text(json.dumps(meta))

@@ -122,3 +122,78 @@ class TestCreateMetaDataset:
         assert s is not None
         assert int(s["agg"]["valid"].sum()) == 1
         assert s["agg"]["z"][0] > 0
+
+
+class TestObjModelScales:
+    """Scale extraction from the NOCS obj_models library
+    (create_meta+.py:170-185 CAMERA, :310-320 REAL)."""
+
+    def test_camera_bbox_difference(self, tmp_path):
+        from fastposecnn_tpu.data.meta_plus import obj_model_scale
+
+        mdl = tmp_path / "03642806" / "fe2236c135bc169e7e1c85c5c15da7fb"
+        mdl.mkdir(parents=True)
+        bbox = np.asarray([[0.21, 0.14, 0.30], [-0.21, -0.14, -0.30]])
+        np.savetxt(mdl / "bbox.txt", bbox)
+        s = obj_model_scale(
+            tmp_path, ("03642806", "fe2236c135bc169e7e1c85c5c15da7fb"),
+            "CAMERA",
+        )
+        np.testing.assert_allclose(s, bbox[0] - bbox[1], atol=1e-12)
+
+    def test_real_vector_normalized(self, tmp_path):
+        from fastposecnn_tpu.data.meta_plus import obj_model_scale
+
+        v = np.asarray([0.2, 0.3, 0.6])
+        np.savetxt(tmp_path / "mug_brown_starbucks_norm.txt", v)
+        s = obj_model_scale(tmp_path, ("mug_brown_starbucks_norm",), "REAL")
+        np.testing.assert_allclose(s, v / np.linalg.norm(v), atol=1e-12)
+        np.testing.assert_allclose(np.linalg.norm(s), 1.0, atol=1e-12)
+
+    def test_missing_returns_none(self, tmp_path):
+        from fastposecnn_tpu.data.meta_plus import obj_model_scale
+
+        assert obj_model_scale(tmp_path, ("nope",), "REAL") is None
+        assert obj_model_scale(None, ("a", "b"), "CAMERA") is None
+        assert obj_model_scale(tmp_path, (), "CAMERA") is None
+
+    def test_sample_prefers_obj_models(self, tmp_path):
+        """create_meta_plus_for_sample uses the bbox scale when the library
+        is provided (fallback otherwise exercised by TestCreateMetaDataset).
+        """
+        from fastposecnn_tpu.data.meta_plus import (
+            create_meta_plus_for_sample,
+        )
+
+        K = constants.INTRINSICS["CAMERA"]
+        R = sst.Rotation.from_euler(
+            "xyz", [15, 25, -30], degrees=True
+        ).as_matrix()
+        coord, depth, mask, _t = render_instance(
+            K, R, 0.8, h=480, w=640, box=(200, 150, 400, 330),
+        )
+        d = tmp_path / "scene"
+        d.mkdir()
+        color = np.zeros((480, 640, 3), np.uint8)
+        Image.fromarray(color).save(d / "0000_color.png")
+        Image.fromarray(np.where(mask, 1, 255).astype(np.uint8)).save(
+            d / "0000_mask.png"
+        )
+        Image.fromarray((coord * 255).astype(np.uint8)).save(
+            d / "0000_coord.png"
+        )
+        Image.fromarray(depth).save(d / "0000_depth.png")
+        (d / "0000_meta.txt").write_text("1 6 02880940 modelhash\n")
+
+        lib = tmp_path / "obj_models"
+        (lib / "02880940" / "modelhash").mkdir(parents=True)
+        bbox = np.asarray([[0.15, 0.1, 0.2], [-0.15, -0.1, -0.2]])
+        np.savetxt(lib / "02880940" / "modelhash" / "bbox.txt", bbox)
+
+        meta = create_meta_plus_for_sample(
+            d / "0000_color.png", K, obj_models_dir=lib,
+            dataset_name="CAMERA",
+        )
+        np.testing.assert_allclose(
+            meta["scales"][0], bbox[0] - bbox[1], atol=1e-12
+        )
