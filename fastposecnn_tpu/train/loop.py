@@ -201,16 +201,31 @@ def fit(
 
         epoch_t0 = _time.perf_counter()
         n_images = 0
+        host_step = int(jax.device_get(state.step))
+        # Buffer device-side logs and fetch in batches: a per-step
+        # device_get serializes every step on the host<->device round trip
+        # (the dominant cost through a remote-attached chip; cf.
+        # BASELINE.md stage-1 wall-clock note).
+        pending = []
+        log_every = 16
+
+        def _flush(buffered):
+            for step_i, fetched in jax.device_get(buffered):
+                logger.log_metrics("train", fetched, step_i)
+
         for bi, batch in enumerate(train_loader):
             if batch is None:  # all samples rejected (dataset.py:456-460)
                 continue
             batch, n_real = _pad_batch(batch, hp.BATCH_SIZE)
             db = _to_device_batch(batch, mesh)
             state, logs = train_step(state, db, rng)
+            host_step += 1
             n_images += n_real
-            logger.log_metrics(
-                "train", {k: v for k, v in logs.items()}, int(state.step)
-            )
+            pending.append((host_step, logs))
+            if len(pending) >= log_every:
+                _flush(pending)
+                pending = []
+        _flush(pending)
         dt = _time.perf_counter() - epoch_t0
         logger.log_metrics(
             "train",
@@ -218,14 +233,14 @@ def fit(
                 "throughput/images_per_s": n_images / max(dt, 1e-9),
                 "optim/lr_scale": float(plateau.scale),
             },
-            int(state.step),
+            host_step,
             accumulate=False,
         )
         logger.log_epoch_average("train", epoch)
 
         # ---- validate ----
         bank = M.init_pose_metric_bank()
-        val_losses = []
+        val_logs_pending = []
         viz_done = False
         for bi, batch in enumerate(valid_loader):
             if batch is None:
@@ -233,8 +248,7 @@ def fit(
             batch, _ = _pad_batch(batch, hp.BATCH_SIZE)
             db = _to_device_batch(batch, mesh)
             logs, bank, out = eval_step(state, db, jax.random.key(epoch), bank)
-            val_losses.append(float(logs["pose/total_loss"]))
-            logger.log_metrics("valid", logs, int(state.step))
+            val_logs_pending.append(logs)
             if (
                 not viz_done
                 and visualize_every
@@ -247,12 +261,16 @@ def fit(
                 except Exception as e:  # viz must never kill training
                     print(f"visualization failed: {e}")
                 viz_done = True
+        val_logs = jax.device_get(val_logs_pending)  # one fetch per epoch
+        val_losses = [float(lg["pose/total_loss"]) for lg in val_logs]
+        for lg in val_logs:
+            logger.log_metrics("valid", lg, host_step)
         pose_vals = {
             f"pose/{k}": float(v)
             for k, v in M.compute_pose_metric_bank(bank).items()
         }
-        logger.log_metrics("valid", pose_vals, int(state.step), accumulate=False)
-        epoch_avgs = logger.log_epoch_average("valid", epoch)
+        logger.log_metrics("valid", pose_vals, host_step, accumulate=False)
+        logger.log_epoch_average("valid", epoch)
         val_loss = float(np.mean(val_losses)) if val_losses else float("inf")
 
         # ---- plateau LR (pose_regressor.py:417-438) ----
