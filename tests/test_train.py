@@ -45,6 +45,11 @@ def tiny_setup(hp=None, h=32, w=32, num_classes=3):
 
 
 class TestTrainStep:
+    # The two full train-step tests below are compile-dominated (~3-5 min
+    # each on this 1-CPU box); the default fast loop is
+    # `pytest -m "not slow"`, which keeps TestDataParallel's sharded
+    # train-step compile as the smoke for this path.
+    @pytest.mark.slow
     def test_mask_training_loss_decreases_and_freezing(self, rng):
         # One compiled step covers both the loss-decrease and freezing
         # assertions (each extra train-step compile costs ~1 min on CPU).
@@ -75,6 +80,7 @@ class TestTrainStep:
         )
         assert np.abs(mask0 - mask1).max() > 0
 
+    @pytest.mark.slow
     def test_head_training_train_and_eval_steps(self, rng):
         hp, net, pcfg, scfg, inv_K = tiny_setup(hp=C.head_training())
         opt = optim.make_optimizer(hp)
