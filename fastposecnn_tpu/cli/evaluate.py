@@ -50,7 +50,7 @@ def collect_raw_errors(hp, valid_loader, state, net, pcfg, inv_K,
             out["aggregated"], batch["agg"], match,
             keys=("quaternion", "scales", "z", "xy", "T", "R", "RT"),
         )
-        return matched, out["categorical"]["mask"]
+        return matched, out
 
     num_classes = hp.num_classes
     raw = {
@@ -65,14 +65,12 @@ def collect_raw_errors(hp, valid_loader, state, net, pcfg, inv_K,
             continue
         batch, n_real = _pad_batch(batch, hp.BATCH_SIZE)
         db = _to_device_batch(batch, None)
-        matched, pred_mask = forward_match(
+        matched, out = forward_match(
             state.params, state.batch_stats, db, jax.random.key(bi)
         )
         matched = jax.device_get(matched)
         if draw and bi < draw and draw_dir is not None:
-            _save_comparison_figure(
-                hp, batch, matched, np.asarray(pred_mask), bi, draw_dir
-            )
+            _save_comparison_figure(hp, batch, matched, out, bi, draw_dir)
         valid = matched["valid"][:n_real]
         cls = matched["class_ids"][:n_real]
         # Native-f64 error math on host for metric parity (eval_host asserts
@@ -104,27 +102,32 @@ def collect_raw_errors(hp, valid_loader, state, net, pcfg, inv_K,
     }
 
 
-def _save_comparison_figure(hp, batch, matched, pred_mask, bi, draw_dir):
+def _save_comparison_figure(hp, batch, matched, out, bi, draw_dir):
+    """The reference's DRAW option saves compare_all_performance figures
+    (FPC/evaluate.py:161-187): gt / pred / poses grid triple."""
+    import jax
+    import matplotlib.pyplot as plt
+
     from fastposecnn_tpu import constants
     from fastposecnn_tpu.utils import visualize as vz
 
-    import matplotlib.pyplot as plt
-
     intr = constants.INTRINSICS[hp.DATASET_NAME]
     img = vz.denormalize_image(np.asarray(batch["image"][0]))
-    fig = vz.make_summary_figure(
-        rgb=img,
-        pred_mask=vz.colorize_mask(pred_mask[0], hp.num_classes),
-        gt_mask=vz.colorize_mask(np.asarray(batch["mask"][0]), hp.num_classes),
-        pose=vz.compare_pose_performance(
-            img,
-            matched["gt_RT"][0], matched["gt_scales"][0],
-            matched["pred_RT"][0], matched["pred_scales"][0],
-            matched["valid"][0], intr,
-        ),
+    cat = jax.device_get(out["categorical"])
+    agg = jax.device_get(out["aggregated"])
+    gt_fig, pred_fig, poses_fig = vz.compare_all_performance(
+        img,
+        {k: np.asarray(v[0]) for k, v in cat.items()},
+        hp.num_classes,
+        gt_mask=np.asarray(batch["mask"][0]),
+        matched={k: np.asarray(v[0]) for k, v in matched.items()},
+        aggregated={k: np.asarray(v[0]) for k, v in agg.items()},
+        intrinsics=intr,
     )
-    fig.savefig(str(pathlib.Path(draw_dir) / f"eval_{bi:04d}.png"))
-    plt.close(fig)
+    for name, fig in (("gt", gt_fig), ("pred", pred_fig),
+                      ("poses", poses_fig)):
+        fig.savefig(str(pathlib.Path(draw_dir) / f"eval_{bi:04d}_{name}.png"))
+        plt.close(fig)
 
 
 def compute_aps(raw, class_names):

@@ -32,8 +32,13 @@ def mask_iou_matrix(gt_masks: jax.Array, pred_masks: jax.Array) -> jax.Array:
     hw = gt_masks.shape[2] * gt_masks.shape[3]
     gt_flat = gt_masks.reshape(b, g, hw)
     pred_flat = pred_masks.reshape(b, n, hw)
+    # bf16 operands halve HBM traffic for the [*, HW] reads; 0/1 values are
+    # exact in bf16 and the MXU accumulates in f32, so counts stay exact.
     inter = jnp.einsum(
-        "bgp,bnp->bgn", gt_flat, pred_flat, preferred_element_type=jnp.float32
+        "bgp,bnp->bgn",
+        gt_flat.astype(jnp.bfloat16),
+        pred_flat.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
     )
     areas_g = jnp.sum(gt_flat, axis=-1)
     areas_n = jnp.sum(pred_flat, axis=-1)
