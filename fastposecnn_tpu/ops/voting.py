@@ -243,9 +243,28 @@ def _vote_count_kernel(
     hx_ref, hy_ref, px_ref, py_ref, dx_ref, dy_ref, pv_ref, out_ref,
     *, thresh_sq: float, p_tile: int,
 ):
+    """Inlier voting with the bilinear terms on the MXU.
+
+    dot[h,p]  = (h-p)·d        = [hx, hy, 1] · [dx, dy, -(px dx + py dy)]
+    vsq[h,p]  = |h-p|²·|d|²    = [hx², hy², hx, hy, 1] ·
+                                 [1, 1, -2px, -2py, px²+py²]  (|d|∈{0,1})
+    Two tiny-K batched matmuls replace the per-cell subtract/multiply
+    cascade; the VPU only does the comparisons and the masked accumulation.
+    Direction vectors are unit-or-zero by contract (class compression
+    L2-normalizes the xy field; zero dirs can never satisfy dot > 0), so
+    the |d|² factor the CUDA reference computes is omitted.
+
+    f32 matmuls run at HIGHEST precision: coordinates reach ~640 and bf16's
+    8-bit mantissa would flip inlier decisions near the cosine threshold.
+    """
     hx = hx_ref[...]  # [MB, TH]
     hy = hy_ref[...]
+    mb, th = hx.shape
     num_p = px_ref.shape[1]
+    ones_h = jnp.ones_like(hx)
+    # [MB, TH, 5] hypothesis factor, shared across P-chunks
+    hmat = jnp.stack([hx * hx, hy * hy, hx, hy, ones_h], axis=-1)
+    prec = lax.Precision.HIGHEST
 
     def body(i, acc):
         sl = pl.ds(i * p_tile, p_tile)
@@ -254,10 +273,21 @@ def _vote_count_kernel(
         dx = dx_ref[:, sl]
         dy = dy_ref[:, sl]
         pv = pv_ref[:, sl]
-        ax = hx[:, :, None] - px[:, None, :]  # [MB, TH, TP]
-        ay = hy[:, :, None] - py[:, None, :]
-        dot = ax * dx[:, None, :] + ay * dy[:, None, :]
-        vsq = (ax * ax + ay * ay) * (dx * dx + dy * dy)[:, None, :]
+        ones_p = jnp.ones_like(px)
+        # dot = [hx, hy, 1] . [dx, dy, -(px dx + py dy)]
+        pd = jnp.stack([dx, dy, -(px * dx + py * dy)], axis=-2)  # [MB,3,TP]
+        hd = jnp.stack([hx, hy, ones_h], axis=-1)  # [MB, TH, 3]
+        dot = lax.dot_general(
+            hd, pd, (((2,), (1,)), ((0,), (0,))), precision=prec
+        )  # [MB, TH, TP]
+        # vsq = hx² + hy² - 2 hx px - 2 hy py + px² + py²
+        pmat = jnp.stack(
+            [ones_p, ones_p, -2.0 * px, -2.0 * py, px * px + py * py],
+            axis=-2,
+        )  # [MB, 5, TP]
+        vsq = lax.dot_general(
+            hmat, pmat, (((2,), (1,)), ((0,), (0,))), precision=prec
+        )  # [MB, TH, TP]
         inlier = (dot > 0) & (dot * dot > thresh_sq * vsq)
         votes = jnp.where(inlier, pv[:, None, :], 0.0)
         return acc + jnp.sum(votes, axis=2)
@@ -334,7 +364,11 @@ def vote_counts_jnp(
     inlier_thresh: float,
     p_chunk: int = 512,
 ) -> jax.Array:
-    """Reference jnp implementation, scanned over P-chunks to bound memory."""
+    """Reference jnp implementation, scanned over P-chunks to bound memory.
+
+    Directions are unit-or-zero by contract (see _vote_count_kernel), so
+    the |d|² factor is omitted — zero dirs fail dot > 0 regardless.
+    """
     m, h, _ = hyps.shape
     p = pts.shape[1]
     pp = _round_up(p, p_chunk)
@@ -352,7 +386,7 @@ def vote_counts_jnp(
         cpts, cdirs, cpv = chunk
         a = hyps[:, :, None, :] - cpts[:, None, :, :]  # [M, H, TP, 2]
         dot = jnp.sum(a * cdirs[:, None, :, :], axis=-1)
-        vsq = jnp.sum(a * a, axis=-1) * jnp.sum(cdirs * cdirs, axis=-1)[:, None, :]
+        vsq = jnp.sum(a * a, axis=-1)
         inlier = (dot > 0) & (dot * dot > thr_sq * vsq)
         votes = jnp.where(inlier, cpv[:, None, :], 0.0)
         return acc + jnp.sum(votes, axis=-1), None

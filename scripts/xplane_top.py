@@ -30,10 +30,10 @@ def top_ops(trace_dir: str, top_n: int = 25):
         if "TPU" not in plane.name and "/device:" not in plane.name:
             continue
         for line in plane.lines:
-            # XLA Ops line carries per-op self times
-            if line.name not in ("XLA Ops", "XLA TraceMe", "Steps"):
-                if "XLA Ops" not in line.name:
-                    continue
+            # Only the XLA Ops line carries per-op self times; TraceMe and
+            # Steps lines wrap entire regions and would double-count.
+            if "XLA Ops" not in line.name:
+                continue
             for ev in line.events:
                 name = plane.event_metadata[ev.metadata_id].name
                 per_op[name] += ev.duration_ps

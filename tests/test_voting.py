@@ -197,3 +197,11 @@ class TestHoughVote:
         out = hough_vote(jax.random.key(0), agg, max_points=256, round_hyp_num=64)
         np.testing.assert_allclose(np.asarray(out["xy"][0, 0]), c1, atol=0.1)
         np.testing.assert_allclose(np.asarray(out["xy"][0, 1]), c2, atol=0.1)
+        # hypothesis cloud exposed for matching keys / hough visualization
+        # (FPC hough_voting.py:61): last round's hypotheses, clustered near
+        # the true center for a perfect field.
+        assert out["hypothesis"].shape == (1, 2, 64, 2)
+        assert out["pruned_hypothesis"].shape == (1, 2, 64, 2)
+        hyp0 = np.asarray(out["hypothesis"][0, 0])
+        med = np.median(hyp0, axis=0)
+        np.testing.assert_allclose(med, c1, atol=1.5)
