@@ -2,8 +2,12 @@
 
 import collections
 import glob
+import pathlib
+import sys
 
 import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 
 def main():
