@@ -205,3 +205,46 @@ class TestHoughVote:
         hyp0 = np.asarray(out["hypothesis"][0, 0])
         med = np.median(hyp0, axis=0)
         np.testing.assert_allclose(med, c1, atol=1.5)
+
+
+class TestDenseRefinement:
+    def test_dense_refine_recovers_center_and_grads(self):
+        from fastposecnn_tpu.ops.voting import refine_centers_dense
+
+        h = w = 32
+        center = (11.0, 8.0)
+        mask, field = make_instance(center=center)
+        masks = jnp.asarray(mask)[None, None]         # [1,1,H,W]
+        dense = jnp.asarray(field)[None]              # [1,H,W,2]
+        win = jnp.asarray([[[center[0] + 0.4, center[1] - 0.3]]])
+
+        out = refine_centers_dense(win, masks, dense, 0.999)
+        np.testing.assert_allclose(np.asarray(out[0, 0]), center, atol=0.05)
+
+        def loss(f):
+            c = refine_centers_dense(win, masks, f, 0.999)
+            return jnp.sum(c**2)
+
+        g = jax.grad(loss)(dense)
+        assert np.isfinite(np.asarray(g)).all()
+        assert float(jnp.sum(jnp.abs(g))) > 0
+        # gradient confined to the instance mask (weights stop-gradient)
+        outside = np.asarray(g[0])[np.asarray(mask) == 0]
+        np.testing.assert_array_equal(outside, 0.0)
+
+    def test_hough_vote_uses_dense_refinement(self):
+        # identical center recovery through the full hough_vote wrapper
+        h = w = 32
+        c1 = (8.0, 8.0)
+        m1 = np.zeros((h, w), np.float32); m1[4:13, 4:13] = 1
+        f = np.zeros((h, w, 2), np.float32)
+        f1 = perfect_field(h, w, c1)
+        f[m1 > 0] = f1[m1 > 0]
+        agg = {
+            "instance_masks": jnp.asarray(m1)[None, None],
+            "valid": jnp.asarray([[True]]),
+            "xy_dense": jnp.asarray(f)[None],
+        }
+        out = hough_vote(jax.random.key(0), agg, max_points=128,
+                         round_hyp_num=32)
+        np.testing.assert_allclose(np.asarray(out["xy"][0, 0]), c1, atol=0.05)
