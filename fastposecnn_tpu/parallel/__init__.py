@@ -1,5 +1,7 @@
 from fastposecnn_tpu.parallel.mesh import (  # noqa: F401
     make_mesh,
-    shard_batch,
+    make_multislice_mesh,
     replicate,
+    shard_batch,
+    shard_batch_multihost,
 )

@@ -46,9 +46,49 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Place a host batch with its leading axis split over 'dp'."""
+    """Place a host batch with its leading axis split over 'dp'.
+
+    Single-process path: every device is addressable, so a plain
+    device_put suffices. For multi-host slices use
+    `shard_batch_multihost`.
+    """
     sharding = batch_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def shard_batch_multihost(local_batch, mesh: Mesh):
+    """Assemble a GLOBAL batch from per-process local shards.
+
+    Multi-host training (a TPU pod slice runs one process per host) feeds
+    each process only its slice of the global batch; this builds the global
+    jax.Array whose addressable shards are the local data
+    (`jax.make_array_from_process_local_data`). The global batch size is
+    local_batch_size * process_count. On a single process this degrades to
+    `shard_batch` semantics. The reference has no analogue — PL 'ddp'
+    (FPC/train.py:316-327) never ran multi-node.
+    """
+    sharding = batch_sharding(mesh)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(sharding, x),
+        local_batch,
+    )
+
+
+def make_multislice_mesh(n_slices: int, devices_per_slice: int, tp: int = 1):
+    """('slice', 'dp', 'tp') mesh stub for multi-slice (DCN) scaling.
+
+    Data parallelism across slices rides DCN; dp/tp within a slice ride
+    ICI. Out of scope for reference parity (SURVEY §2.3/§5) — provided so
+    multi-slice deployments have a canonical axis layout to shard over:
+    batch over ('slice', 'dp'), parameters replicated.
+    """
+    devices = jax.devices()
+    need = n_slices * devices_per_slice
+    assert len(devices) >= need, (len(devices), need)
+    dp = devices_per_slice // tp
+    assert dp * tp == devices_per_slice, (dp, tp, devices_per_slice)
+    arr = np.asarray(devices[:need]).reshape(n_slices, dp, tp)
+    return Mesh(arr, axis_names=("slice", "dp", "tp"))
 
 
 def replicate(tree, mesh: Mesh):

@@ -176,3 +176,29 @@ class TestEncoderLR:
             np.asarray(u_eq["mask_head"]["w"]),
             rtol=1e-6,
         )
+
+
+class TestMultihostSharding:
+    def test_single_process_multihost_path(self, rng):
+        """shard_batch_multihost on one process must equal shard_batch, and
+        the array must be usable inside jit over the mesh."""
+        from fastposecnn_tpu.parallel import (
+            make_mesh,
+            shard_batch,
+            shard_batch_multihost,
+        )
+
+        mesh = make_mesh(8)
+        batch = {"x": rng.normal(size=(8, 4)).astype(np.float32)}
+        a = shard_batch(batch, mesh)
+        b = shard_batch_multihost(batch, mesh)
+        np.testing.assert_array_equal(np.asarray(a["x"]), np.asarray(b["x"]))
+        assert b["x"].sharding.is_equivalent_to(a["x"].sharding, 2)
+        out = jax.jit(lambda t: t["x"].sum())(b)
+        np.testing.assert_allclose(float(out), batch["x"].sum(), rtol=1e-6)
+
+    def test_multislice_mesh_stub(self):
+        from fastposecnn_tpu.parallel import make_multislice_mesh
+
+        mesh = make_multislice_mesh(2, 4, tp=2)
+        assert mesh.shape == {"slice": 2, "dp": 2, "tp": 2}
