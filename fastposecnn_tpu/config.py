@@ -95,6 +95,7 @@ class HParams:
     HV_NUM_OF_HYPOTHESES: int = 128
     HV_ADAPTIVE: bool = True  # False: single fixed-budget vote (TPU serving)
     HV_IMPLEMENTATION: str = "ransac"  # or "soft" (weighted-mean + pruning)
+    HV_REFINE: str = "dense"  # all-pixel LSQ (reference) | "sampled" (faster)
     HV_HYPOTHESIS_IN_MASK_MULTIPLIER: int = 3
     PRUN_METHOD: str = "iqr"
     PRUN_OUTLIER_DROP: bool = False
@@ -272,6 +273,7 @@ def pipeline_config_from(hp: HParams, use_pallas=None):
         hv_num_hypotheses=hp.HV_NUM_OF_HYPOTHESES,
         hv_adaptive=hp.HV_ADAPTIVE,
         hv_implementation=hp.HV_IMPLEMENTATION,
+        hv_refine=hp.HV_REFINE,
         prun_method=None if hp.PRUN_METHOD in (None, "none") else hp.PRUN_METHOD,
         prun_outlier_drop=hp.PRUN_OUTLIER_DROP,
         prun_replacement=hp.PRUN_OUTLIER_REPLACEMENT_STYLE,

@@ -649,6 +649,7 @@ def hough_vote(
     sampler: str = "bbox",
     use_pallas: Optional[bool] = None,
     interpret: bool = False,
+    refine: str = "dense",
 ) -> dict:
     """Attach voted 2D centers to the aggregation payload.
 
@@ -681,19 +682,25 @@ def hough_vote(
         adaptive=adaptive,
         use_pallas=use_pallas,
         interpret=interpret,
-        refine="none",
+        refine="sampled" if refine == "sampled" else "none",
     )
-    # Refinement over ALL in-mask pixels (reference semantics: the <=30k
-    # point cap rarely binds, ransac_voting_gpu.py:541-545) — also keeps the
-    # xy-loss gradient path gather-free (see refine_centers_dense).
-    centers = refine_centers_dense(
-        winners.reshape(b, n, 2),
-        agg["instance_masks"],
-        agg["xy_dense"],
-        inlier_thresh,
-    )
-    active = agg["valid"] & (npts >= 5)
-    centers = jnp.where(active[..., None], centers, 0.0)
+    if refine == "sampled":
+        # LSQ over the sampled points only: ~0.3 ms/frame faster at 480p
+        # but further from the reference (which refines over all points).
+        centers = winners.reshape(b, n, 2)
+    else:
+        # Default: refinement over ALL in-mask pixels (reference semantics:
+        # the <=30k point cap rarely binds, ransac_voting_gpu.py:541-545) —
+        # also keeps the xy-loss gradient path gather-free
+        # (see refine_centers_dense).
+        centers = refine_centers_dense(
+            winners.reshape(b, n, 2),
+            agg["instance_masks"],
+            agg["xy_dense"],
+            inlier_thresh,
+        )
+        active = agg["valid"] & (npts >= 5)
+        centers = jnp.where(active[..., None], centers, 0.0)
     out = dict(agg)
     out["xy"] = centers
     out["win_ratio"] = ratio.reshape(b, n)

@@ -35,6 +35,7 @@ class PipelineConfig:
     hv_max_iter: int = 20
     hv_adaptive: bool = True  # False = one fixed-budget vote (TPU serving mode)
     hv_sampler: str = "bbox"  # 'bbox' (1 gather round) or 'cdf' (exact)
+    hv_refine: str = "dense"  # 'dense' all-pixel LSQ (reference) | 'sampled'
     hv_implementation: str = "ransac"  # 'ransac' (PVNet path) or 'soft'
     # soft-voting pruning knobs (FPC/config.py:96-105)
     prun_method: Optional[str] = "iqr"
@@ -95,6 +96,7 @@ def stage_hough_voting(
         adaptive=config.hv_adaptive,
         sampler=config.hv_sampler,
         use_pallas=config.use_pallas,
+        refine=config.hv_refine,
     )
 
 
