@@ -207,11 +207,31 @@ def fit(
         # (the dominant cost through a remote-attached chip; cf.
         # BASELINE.md stage-1 wall-clock note).
         pending = []
+        recent_batches = {}  # host_step -> host batch (fault replay window)
         log_every = 16
 
         def _flush(buffered):
             for step_i, fetched in jax.device_get(buffered):
                 logger.log_metrics("train", fetched, step_i)
+                if fetched.get("grad/finite", 1.0) < 1.0:
+                    # Fault reproduction: the reference sketched capturing
+                    # the offending batch+weights for replay
+                    # (FPC pose_regressor.py:374-399, commented out); here
+                    # it works — the batch that produced non-finite grads
+                    # is saved next to the run for offline replay.
+                    fault = recent_batches.get(step_i)
+                    if fault is not None:
+                        path = run_dir / f"fault_batch_step{step_i}.npz"
+                        flat = {
+                            "image": fault["image"], "mask": fault["mask"],
+                            **{f"agg_{k}": v for k, v in fault["agg"].items()},
+                        }
+                        np.savez_compressed(path, **flat)
+                        flog.warning(
+                            "non-finite gradients at step %d; batch saved "
+                            "to %s", step_i, path,
+                        )
+            recent_batches.clear()
 
         for bi, batch in enumerate(train_loader):
             if batch is None:  # all samples rejected (dataset.py:456-460)
@@ -222,6 +242,7 @@ def fit(
             host_step += 1
             n_images += n_real
             pending.append((host_step, logs))
+            recent_batches[host_step] = batch
             if len(pending) >= log_every:
                 _flush(pending)
                 pending = []

@@ -14,7 +14,17 @@ import glob
 import sys
 
 
-def top_ops(trace_dir: str, top_n: int = 25):
+def _bucket(name: str) -> str:
+    head = name.split(" = ", 1)[0].lstrip("%")
+    base = head.rstrip("0123456789.").rstrip("-")
+    if "copy" in base or "slice-start" in base or "slice-done" in base:
+        return "async-copy"
+    if "custom-call" in name.split(" = ", 1)[-1][:200] or base == "full":
+        return "custom-call(pallas)"
+    return base
+
+
+def top_ops(trace_dir: str, top_n: int = 25, skip_copies: bool = False):
     from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
     files = glob.glob(f"{trace_dir}/**/*.xplane.pb", recursive=True)
@@ -25,6 +35,7 @@ def top_ops(trace_dir: str, top_n: int = 25):
         xspace.ParseFromString(f.read())
 
     per_op = collections.Counter()
+    buckets = collections.Counter()
     total = 0
     for plane in xspace.planes:
         if "TPU" not in plane.name and "/device:" not in plane.name:
@@ -36,16 +47,26 @@ def top_ops(trace_dir: str, top_n: int = 25):
                 continue
             for ev in line.events:
                 name = plane.event_metadata[ev.metadata_id].name
+                b = _bucket(name)
+                buckets[b] += ev.duration_ps
+                if skip_copies and b == "async-copy":
+                    continue
                 per_op[name] += ev.duration_ps
                 total += ev.duration_ps
     rows = per_op.most_common(top_n)
-    print(f"total device op time: {total/1e9:.3f} ms (over all steps)")
+    print(f"total device op time: {total/1e9:.3f} ms (over all steps"
+          f"{', copies excluded' if skip_copies else ''})")
+    print("-- buckets (incl. copies) --")
+    for b, ps in buckets.most_common(12):
+        print(f"{ps/1e9:9.3f} ms  {b}")
+    print("-- top ops --")
     for name, ps in rows:
         print(f"{ps/1e9:9.3f} ms  {100.0*ps/max(total,1):5.1f}%  {name[:110]}")
     return rows, total
 
 
 if __name__ == "__main__":
-    d = sys.argv[1] if len(sys.argv) > 1 else "/tmp/jax_trace"
-    n = int(sys.argv[2]) if len(sys.argv) > 2 else 25
-    top_ops(d, n)
+    args = [a for a in sys.argv[1:] if a != "--nocopy"]
+    d = args[0] if args else "/tmp/jax_trace"
+    n = int(args[1]) if len(args) > 1 else 25
+    top_ops(d, n, skip_copies="--nocopy" in sys.argv)
