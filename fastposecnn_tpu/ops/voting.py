@@ -191,6 +191,19 @@ def _intersect_pairs(p0, d0, p1, d1):
     return jnp.where((jnp.abs(det) < _DEGENERATE_EPS)[..., None], 0.0, hyp)
 
 
+def _sample_pairs(key: jax.Array, pts: jax.Array, dirs: jax.Array,
+                  num_hyp: int):
+    """Random point pairs (p0, d0, p1, d1), each [M, num_hyp, 2]
+    (the reference's `idxs.random_(0, tn)`, ransac_voting_gpu.py:552)."""
+    m, p, _ = pts.shape
+    idx = jax.random.randint(key, (m, num_hyp, 2), 0, p)
+    p0 = jnp.take_along_axis(pts, idx[..., 0:1], axis=1)
+    p1 = jnp.take_along_axis(pts, idx[..., 1:2], axis=1)
+    d0 = jnp.take_along_axis(dirs, idx[..., 0:1], axis=1)
+    d1 = jnp.take_along_axis(dirs, idx[..., 1:2], axis=1)
+    return p0, d0, p1, d1
+
+
 def generate_hypotheses(
     key: jax.Array,
     pts: jax.Array,  # [M, P, 2]
@@ -198,12 +211,7 @@ def generate_hypotheses(
     num_hyp: int,
 ) -> jax.Array:
     """[M, num_hyp, 2] candidate centers from random point pairs (gathers)."""
-    m, p, _ = pts.shape
-    idx = jax.random.randint(key, (m, num_hyp, 2), 0, p)
-    p0 = jnp.take_along_axis(pts, idx[..., 0:1], axis=1)
-    p1 = jnp.take_along_axis(pts, idx[..., 1:2], axis=1)
-    d0 = jnp.take_along_axis(dirs, idx[..., 0:1], axis=1)
-    d1 = jnp.take_along_axis(dirs, idx[..., 1:2], axis=1)
+    p0, d0, p1, d1 = _sample_pairs(key, pts, dirs, num_hyp)
     return _intersect_pairs(p0, d0, p1, d1)
 
 
