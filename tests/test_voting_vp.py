@@ -35,7 +35,7 @@ class TestVanishingPoint:
             generate_hypotheses_vp(jax.random.key(0), jnp.asarray(pts),
                                    jnp.asarray(dirs), 64)
         )[0]
-        nonzero = hyps[np.abs(hyps).sum(-1) > 0]
+        nonzero = hyps[np.abs(hyps).sum(-1) > 1e-4]
         assert len(nonzero) > 0
         hn = nonzero / np.linalg.norm(nonzero, axis=-1, keepdims=True)
         # z component vanishes; (x, y) parallel to the shared direction
@@ -111,7 +111,9 @@ class TestVanishingPoint:
         hyps = np.asarray(
             generate_hypotheses_vp(jax.random.key(0), pts, dirs, 8)
         )[0]
-        keep = hyps[np.abs(hyps).sum(-1) > 0]
+        # same-point pairs leave ~1e-8 fma residue in cross(l, l) (the CUDA
+        # kernel has no degenerate-pair check either); threshold it away.
+        keep = hyps[np.abs(hyps).sum(-1) > 1e-4]
         assert keep.shape[0] == 0  # every cross-pair zeroed
 
     def test_consistent_pair_survives(self):
@@ -121,7 +123,7 @@ class TestVanishingPoint:
         hyps = np.asarray(
             generate_hypotheses_vp(jax.random.key(0), pts, dirs, 16)
         )[0]
-        keep = hyps[np.abs(hyps).sum(-1) > 0]
+        keep = hyps[np.abs(hyps).sum(-1) > 1e-4]
         assert keep.shape[0] > 0
         dehom = keep[:, :2] / keep[:, 2:3]
         np.testing.assert_allclose(dehom, [[5.0, 5.0]] * len(dehom),
