@@ -272,3 +272,67 @@ class TestFillMissing:
         assert float(out["pred_z"][0, 1]) == 1000.0
         np.testing.assert_array_equal(
             np.asarray(out["pred_RT"][0, 1]), np.eye(4))
+
+
+class TestClassCompressTorchGolden:
+    def test_matches_reference_transcription(self, rng):
+        """class_compress vs an exact torch transcription of
+        FPC/lib/gpu_tensor_funcs.py:37-99 (scatter one-hot -> per-class
+        chunk -> zero non-class -> sum -> normalize quat/xy)."""
+        import torch
+
+        from fastposecnn_tpu.ops.class_compress import class_compress
+
+        b, h, w, c = 2, 16, 20, 4  # c incl. background
+        cm1 = c - 1
+        mask_logits = rng.normal(size=(b, h, w, c)).astype(np.float32)
+        quat = rng.normal(size=(b, h, w, 4 * cm1)).astype(np.float32)
+        xy = rng.normal(size=(b, h, w, 2 * cm1)).astype(np.float32)
+        z = rng.normal(size=(b, h, w, cm1)).astype(np.float32)
+        scales = rng.normal(size=(b, h, w, 3 * cm1)).astype(np.float32)
+
+        ours = class_compress({
+            "mask": jnp.asarray(mask_logits),
+            "quaternion": jnp.asarray(quat),
+            "xy": jnp.asarray(xy),
+            "z": jnp.asarray(z),
+            "scales": jnp.asarray(scales),
+        })
+
+        # ---- reference semantics in torch (NCHW) ----
+        def t(x):  # NHWC -> NCHW torch
+            return torch.from_numpy(np.ascontiguousarray(
+                x.transpose(0, 3, 1, 2)))
+
+        tl = {"quaternion": t(quat), "xy": t(xy), "z": t(z),
+              "scales": t(scales)}
+        cat_mask = torch.argmax(
+            torch.nn.LogSoftmax(dim=1)(t(mask_logits)), dim=1)
+        class_masks = torch.zeros((b, c, h, w))
+        class_masks = class_masks.scatter(
+            1, torch.unsqueeze(cat_mask, dim=1), 1)[:, 1:]
+        out_ref = {}
+        for key, v in tl.items():
+            chunks = torch.stack(torch.chunk(v, cm1, dim=1), dim=1)
+            masked = torch.where(
+                torch.unsqueeze(class_masks, dim=2).bool(),
+                chunks.double(), torch.tensor(0.0).double(),
+            ).float()
+            comp = torch.sum(masked, dim=1)
+            if key == "z":
+                comp = torch.squeeze(comp, dim=1)
+            elif key in ("quaternion", "xy"):
+                norm = comp.norm(dim=1, keepdim=True)
+                comp = comp / torch.where(norm != 0, norm,
+                                          torch.tensor(1.0))
+            out_ref[key] = comp.numpy()
+
+        np.testing.assert_array_equal(
+            np.asarray(ours["mask"]), cat_mask.numpy())
+        for key in ("quaternion", "xy", "scales"):
+            np.testing.assert_allclose(
+                np.asarray(ours[key]).transpose(0, 3, 1, 2), out_ref[key],
+                atol=1e-6, err_msg=key,
+            )
+        np.testing.assert_allclose(
+            np.asarray(ours["z"]), out_ref["z"], atol=1e-6)
