@@ -30,7 +30,8 @@ APS_NUM_OF_POINTS = 50  # FPC/evaluate.py:40
 
 
 def collect_raw_errors(hp, valid_loader, state, net, pcfg, inv_K,
-                       draw: int = 0, draw_dir=None):
+                       draw: int = 0, draw_dir=None,
+                       fpc_compat_iou: bool = False):
     """Phase A: forward + match + per-class raw errors (+ optional figures,
     FPC/evaluate.py:161-187 DRAW)."""
     import jax
@@ -85,6 +86,7 @@ def collect_raw_errors(hp, valid_loader, state, net, pcfg, inv_K,
             matched["pred_RT"][:n_real],
             matched["gt_scales"][:n_real],
             matched["pred_scales"][:n_real],
+            fpc_compat=fpc_compat_iou,
         )
         off = eval_host.offset_error_cm(
             matched["gt_T"][:n_real], matched["pred_T"][:n_real]
@@ -204,6 +206,12 @@ def main(argv=None):
     parser.add_argument("--draw", type=int, default=0,
                         help="save comparison figures for first N batches "
                              "(FPC evaluate.py DRAW option)")
+    parser.add_argument("--fpc_compat_iou", action="store_true",
+                        help="replicate the reference evaluator's 3D-IoU "
+                             "corner-axis reduction quirk "
+                             "(gpu_tensor_funcs.py:511-525) for bit-parity "
+                             "with its published-style numbers; default is "
+                             "the geometrically correct axis-aligned IoU")
     C.add_cli_overrides(parser, C.HParams())
     args = parser.parse_args(argv)
 
@@ -261,7 +269,8 @@ def main(argv=None):
         pcfg = C.pipeline_config_from(hp)
         inv_K = np.linalg.inv(constants.INTRINSICS[hp.DATASET_NAME])
         raw = collect_raw_errors(hp, loader, state, net, pcfg, inv_K,
-                                 draw=args.draw, draw_dir=out_dir)
+                                 draw=args.draw, draw_dir=out_dir,
+                                 fpc_compat_iou=args.fpc_compat_iou)
         np.savez(
             results_path,
             **{f"{m}/{c}": v for m, per in raw.items() for c, v in per.items()},
