@@ -29,14 +29,24 @@ import numpy as np
 
 
 def safe_normalize(x: jax.Array, axis: int = -1, eps: float = 0.0) -> jax.Array:
-    """L2-normalize; zero vectors pass through unchanged.
+    """L2-normalize; zero vectors pass through unchanged — with finite
+    gradients at exactly-zero vectors.
 
     Parity: FPC/lib/gpu_tensor_funcs.py:37-50 (`normalize` replaces zero norms
     by 1 before dividing).
+
+    Gradient note: the naive `x / where(|x| > 0, |x|, 1)` still produces NaN
+    gradients at x = 0 because d|x|/dx = x/|x| is 0/0 there and `where`'s
+    backward multiplies the untaken branch's NaN cotangent by zero
+    (0 * NaN = NaN). Dense fields are exactly zero on background pixels and
+    padded instance slots, so this poisoned every quaternion/xy gradient.
+    The double-where trick guards the sqrt INPUT so both branches are finite.
     """
-    norm = jnp.linalg.norm(x, axis=axis, keepdims=True)
-    safe = jnp.where(norm > eps, norm, jnp.ones_like(norm))
-    return x / safe
+    norm_sq = jnp.sum(x * x, axis=axis, keepdims=True)
+    is_zero = norm_sq <= (eps * eps if eps > 0 else 0.0)
+    safe_sq = jnp.where(is_zero, 1.0, norm_sq)
+    inv = jax.lax.rsqrt(safe_sq)
+    return x * jnp.where(is_zero, 1.0, inv)
 
 
 def homogenize(points: jax.Array) -> jax.Array:

@@ -6,6 +6,7 @@ implementations.
 """
 
 import jax.numpy as jnp
+import jax
 import numpy as np
 import pytest
 import scipy.spatial.transform as sst
@@ -236,3 +237,24 @@ class TestEvalHostParity:
         )
         off_got = eval_host.offset_error_cm(T, T + 0.05)
         np.testing.assert_allclose(off_got, off_want, atol=1e-12)
+
+
+class TestSafeNormalizeGradients:
+    def test_finite_grad_at_zero_vectors(self):
+        """Background pixels / padded slots are exactly-zero vectors; the
+        normalize gradient must stay finite there (the naive
+        x / where(|x|>0, |x|, 1) formulation NaN'd every quaternion/xy
+        gradient through 0 * NaN in where's backward)."""
+        x = jnp.zeros((4, 3)).at[0].set(jnp.asarray([3.0, 4.0, 0.0]))
+
+        def f(v):
+            return jnp.sum(geometry.safe_normalize(v) ** 2)
+
+        g = np.asarray(jax.grad(f)(x))
+        assert np.isfinite(g).all()
+        # zero rows keep identity behavior: d(sum(x^2))/dx = 2x = 0 there
+        np.testing.assert_array_equal(g[1:], 0.0)
+        # values unchanged by the reformulation
+        out = np.asarray(geometry.safe_normalize(x))
+        np.testing.assert_allclose(np.linalg.norm(out[0]), 1.0, rtol=1e-6)
+        np.testing.assert_array_equal(out[1:], 0.0)

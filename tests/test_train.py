@@ -90,6 +90,10 @@ class TestTrainStep:
         state, logs = step(state, batch, jax.random.key(1))
         assert np.isfinite(float(logs["pose/total_loss"]))
         assert "quaternion/loss_quat" in logs
+        # Full stage-2 gradients must be finite (regression: safe_normalize
+        # NaN'd quaternion/xy grads at zero vectors, skipping every update).
+        assert float(logs["grad/finite"]) == 1.0
+        assert int(state.skipped_updates) == 0
 
         estep = jax.jit(make_eval_step(net, hp, pcfg, inv_K))
         bank = M.init_pose_metric_bank()
