@@ -184,9 +184,18 @@ def rotation_matrix_loss(matched: Dict[str, Array]) -> LossOut:
     return _masked_mean(jnp.arccos(cos), valid)
 
 
+def _safe_norm(diff: Array) -> Array:
+    """||diff|| with finite gradients at exactly-zero differences (padded
+    slots have gt == pred == 0; naive norm backward is 0/0 there and the
+    later masking multiplies 0 * NaN = NaN — same trap as safe_normalize)."""
+    sq = jnp.sum(diff * diff, axis=-1)
+    nonzero = sq > 0
+    return jnp.sqrt(jnp.where(nonzero, sq, 1.0)) * nonzero
+
+
 def translation_loss(matched: Dict[str, Array]) -> LossOut:
     """||gt_T - pred_T|| mean (FPC/lib/loss.py:401-429 `TLoss`)."""
-    d = jnp.linalg.norm(matched["gt_T"] - matched["pred_T"], axis=-1)
+    d = _safe_norm(matched["gt_T"] - matched["pred_T"])
     return _masked_mean(d, matched["valid"])
 
 
@@ -207,7 +216,7 @@ def offset_loss(matched: Dict[str, Array]) -> LossOut:
     pred_c = matched["pred_RT"][..., :3, :3].swapaxes(-1, -2) @ (
         -matched["pred_RT"][..., :3, 3:]
     )
-    err = jnp.linalg.norm(gt_c[..., 0] - pred_c[..., 0], axis=-1) * 10.0
+    err = _safe_norm(gt_c[..., 0] - pred_c[..., 0]) * 10.0
     return _masked_mean(err / 10.0, matched["valid"])
 
 
