@@ -20,6 +20,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from fastposecnn_tpu.utils.compcache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from fastposecnn_tpu import config as C
     from fastposecnn_tpu import constants
     from fastposecnn_tpu.models import PoseRegressorNet

@@ -199,6 +199,9 @@ def compute_aps(raw, class_names):
 
 
 def main(argv=None):
+    from fastposecnn_tpu.utils.compcache import enable_compilation_cache
+
+    enable_compilation_cache()
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--valid_dir", default=None)
     parser.add_argument("--synthetic", type=int, default=0)

@@ -30,6 +30,9 @@ def dataset_dirs(hp, args):
 
 
 def main(argv=None):
+    from fastposecnn_tpu.utils.compcache import enable_compilation_cache
+
+    enable_compilation_cache()
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("-e", "--experiment", default="TESTING")
     parser.add_argument(

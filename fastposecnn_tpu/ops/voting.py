@@ -105,10 +105,7 @@ def sample_mask_points(
     x = (idx % w).astype(jnp.float32)
     y = (idx // w).astype(jnp.float32)
     pts = jnp.stack([x, y], axis=-1)
-    dirs_flat = xy_dense.reshape(b, 1, hw, 2)
-    dirs = jnp.take_along_axis(
-        jnp.broadcast_to(dirs_flat, (b, n, hw, 2)), idx[..., None], axis=2
-    )
+    dirs = _gather_dirs(xy_dense, idx)
     zero = pt_valid[..., None].astype(pts.dtype)
     return pts * zero, dirs * zero, npts, pt_valid
 
@@ -163,12 +160,26 @@ def sample_mask_points_bbox(
     on_mask = jnp.take_along_axis(flat, idx, axis=-1) > 0
     pt_valid = on_mask & (npts > 0)[..., None]
     pts = jnp.stack([px, py], axis=-1)
-    dirs_flat = xy_dense.reshape(b, 1, hw, 2)
-    dirs = jnp.take_along_axis(
-        jnp.broadcast_to(dirs_flat, (b, n, hw, 2)), idx[..., None], axis=2
-    )
+    dirs = _gather_dirs(xy_dense, idx)
     zero = pt_valid[..., None].astype(pts.dtype)
     return pts * zero, dirs * zero, npts, pt_valid
+
+
+def _gather_dirs(xy_dense: jax.Array, idx: jax.Array) -> jax.Array:
+    """Gather direction vectors for sampled pixel indices.
+
+    xy_dense [B, H, W, 2], idx [B, N, P] (flat HW indices) -> [B, N, P, 2].
+    Gathers from the per-image [HW, 2] array directly — broadcasting it to
+    [B, N, HW, 2] first (the obvious take_along_axis formulation) makes XLA
+    materialize a 39 MB tensor per frame at 480p/16 instances.
+    """
+    b, h, w, _ = xy_dense.shape
+    n, p = idx.shape[1], idx.shape[2]
+    flat = xy_dense.reshape(b, h * w, 2)
+    taken = jnp.take_along_axis(
+        flat, idx.reshape(b, n * p, 1), axis=1
+    )
+    return taken.reshape(b, n, p, 2)
 
 
 # -----------------------------------------------------------------------------
@@ -248,60 +259,57 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _vote_count_kernel(
+    block_act_ref,
     hx_ref, hy_ref, px_ref, py_ref, dx_ref, dy_ref, pv_ref, out_ref,
     *, thresh_sq: float, p_tile: int,
 ):
-    """Inlier voting with the bilinear terms on the MXU.
+    """Inlier voting as pure-VPU broadcast arithmetic over [MB, TH, TP].
 
-    dot[h,p]  = (h-p)·d        = [hx, hy, 1] · [dx, dy, -(px dx + py dy)]
-    vsq[h,p]  = |h-p|²·|d|²    = [hx², hy², hx, hy, 1] ·
-                                 [1, 1, -2px, -2py, px²+py²]  (|d|∈{0,1})
-    Two tiny-K batched matmuls replace the per-cell subtract/multiply
-    cascade; the VPU only does the comparisons and the masked accumulation.
+    dot[h,p] = (h-p)·d,  vsq[h,p] = |h-p|²;  inlier ⇔ dot>0 ∧ dot² > t²·vsq.
     Direction vectors are unit-or-zero by contract (class compression
     L2-normalizes the xy field; zero dirs can never satisfy dot > 0), so
     the |d|² factor the CUDA reference computes is omitted.
 
-    f32 matmuls run at HIGHEST precision: coordinates reach ~640 and bf16's
-    8-bit mantissa would flip inlier decisions near the cosine threshold.
+    Formulation note (measured on v5e, scripts/probe_vote_variants.py):
+    casting the two forms as K=3/K=5 matmuls to ride the MXU runs at
+    1.23 ms for [16, 4096, 1024] regardless of tiling — Mosaic pays
+    per-pass setup that tiny contraction depths never amortize. The direct
+    broadcast form is ~9 VPU ops/cell and runs 0.27 ms. It is also
+    bit-identical to `vote_counts_jnp` (same subtract-first arithmetic; the
+    expanded bilinear form loses ~3 digits to cancellation in hsq+qq).
     """
-    hx = hx_ref[...]  # [MB, TH]
-    hy = hy_ref[...]
-    mb, th = hx.shape
-    num_p = px_ref.shape[1]
-    ones_h = jnp.ones_like(hx)
-    # [MB, TH, 5] hypothesis factor, shared across P-chunks
-    hmat = jnp.stack([hx * hx, hy * hy, hx, hy, ones_h], axis=-1)
-    prec = lax.Precision.HIGHEST
+    block_act = block_act_ref[pl.program_id(0)]
 
-    def body(i, acc):
-        sl = pl.ds(i * p_tile, p_tile)
-        px = px_ref[:, sl]  # [MB, TP]
-        py = py_ref[:, sl]
-        dx = dx_ref[:, sl]
-        dy = dy_ref[:, sl]
-        pv = pv_ref[:, sl]
-        ones_p = jnp.ones_like(px)
-        # dot = [hx, hy, 1] . [dx, dy, -(px dx + py dy)]
-        pd = jnp.stack([dx, dy, -(px * dx + py * dy)], axis=-2)  # [MB,3,TP]
-        hd = jnp.stack([hx, hy, ones_h], axis=-1)  # [MB, TH, 3]
-        dot = lax.dot_general(
-            hd, pd, (((2,), (1,)), ((0,), (0,))), precision=prec
-        )  # [MB, TH, TP]
-        # vsq = hx² + hy² - 2 hx px - 2 hy py + px² + py²
-        pmat = jnp.stack(
-            [ones_p, ones_p, -2.0 * px, -2.0 * py, px * px + py * py],
-            axis=-2,
-        )  # [MB, 5, TP]
-        vsq = lax.dot_general(
-            hmat, pmat, (((2,), (1,)), ((0,), (0,))), precision=prec
-        )  # [MB, TH, TP]
-        inlier = (dot > 0) & (dot * dot > thresh_sq * vsq)
-        votes = jnp.where(inlier, pv[:, None, :], 0.0)
-        return acc + jnp.sum(votes, axis=2)
+    @pl.when(block_act == 0)
+    def _skip():
+        # Whole m-block padded/inactive (valid instance slots are a prefix
+        # by construction — extract_instances fills slots in scan order),
+        # so production scenes with <= 8 instances skip half the kernel.
+        out_ref[...] = jnp.zeros_like(out_ref)
 
-    acc = lax.fori_loop(0, num_p // p_tile, body, jnp.zeros_like(hx))
-    out_ref[...] = acc
+    @pl.when(block_act != 0)
+    def _compute():
+        hx = hx_ref[...]  # [MB, TH]
+        hy = hy_ref[...]
+        num_p = px_ref.shape[1]
+
+        def body(i, acc):
+            sl = pl.ds(i * p_tile, p_tile)
+            px = px_ref[:, sl]  # [MB, TP]
+            py = py_ref[:, sl]
+            dx = dx_ref[:, sl]
+            dy = dy_ref[:, sl]
+            pv = pv_ref[:, sl]
+            ax = hx[:, :, None] - px[:, None, :]  # [MB, TH, TP]
+            ay = hy[:, :, None] - py[:, None, :]
+            dot = ax * dx[:, None, :] + ay * dy[:, None, :]
+            vsq = ax * ax + ay * ay
+            inlier = (dot > 0) & (dot * dot > thresh_sq * vsq)
+            votes = jnp.where(inlier, pv[:, None, :], 0.0)
+            return acc + jnp.sum(votes, axis=2)
+
+        acc = lax.fori_loop(0, num_p // p_tile, body, jnp.zeros_like(hx))
+        out_ref[...] = acc
 
 
 def vote_counts_pallas(
@@ -312,8 +320,9 @@ def vote_counts_pallas(
     inlier_thresh: float,
     m_block: int = 8,
     h_tile: int = 128,
-    p_tile: int = 128,
+    p_tile: int = 1024,
     interpret: bool = False,
+    active: Optional[jax.Array] = None,  # [M] bool instance validity
 ) -> jax.Array:
     """Inlier counts [M, H] via a VPU-tiled Pallas kernel.
 
@@ -322,6 +331,10 @@ def vote_counts_pallas(
     leaves VMEM (the CUDA reference materializes the full [hn, vn, tn]
     uint8 tensor in HBM, ransac_voting_gpu.py:563). Blocks respect the
     (8, 128) f32 tiling constraint: MB=8 sublanes, TH/TP lane-sized.
+
+    `active` (optional) marks valid instance slots; m-blocks whose slots
+    are all inactive are skipped via scalar prefetch (their counts are
+    zero either way — pvalid zeroes padded slots — this only saves time).
     """
     m, h, _ = hyps.shape
     p = pts.shape[1]
@@ -342,12 +355,35 @@ def vote_counts_pallas(
     dy = prep(dirs[..., 1], pp)
     pv = prep(pvalid.astype(jnp.float32), pp)
 
-    grid = (mp // m_block, hp // h_tile)
+    n_mblocks = mp // m_block
+    if active is None:
+        block_act = jnp.ones((n_mblocks,), jnp.int32)
+    else:
+        act = jnp.pad(active.astype(jnp.int32), [(0, mp - m)])
+        block_act = jnp.max(act.reshape(n_mblocks, m_block), axis=1)
+
+    grid = (n_mblocks, hp // h_tile)
+    # index maps take the scalar-prefetch ref as a trailing argument
     hyp_spec = pl.BlockSpec(
-        (m_block, h_tile), lambda i, j: (i, j), memory_space=pltpu.VMEM
+        (m_block, h_tile), lambda i, j, *_: (i, j), memory_space=pltpu.VMEM
     )
     pt_spec = pl.BlockSpec(
-        (m_block, pp), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+        (m_block, pp), lambda i, j, *_: (i, 0), memory_space=pltpu.VMEM
+    )
+    kwargs = {}
+    if not interpret:
+        # The broadcast intermediates ([MB, TH, TP] f32 x4) exceed the
+        # default 16 MB scoped-vmem limit at TP=1024; v5e has 128 MB
+        # physical VMEM — raise the scoped limit like the CC kernel does.
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024
+        )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[hyp_spec, hyp_spec, pt_spec, pt_spec, pt_spec, pt_spec,
+                  pt_spec],
+        out_specs=hyp_spec,
     )
     out = pl.pallas_call(
         functools.partial(
@@ -356,11 +392,10 @@ def vote_counts_pallas(
             p_tile=p_tile,
         ),
         out_shape=jax.ShapeDtypeStruct((mp, hp), jnp.float32),
-        grid=grid,
-        in_specs=[hyp_spec, hyp_spec, pt_spec, pt_spec, pt_spec, pt_spec, pt_spec],
-        out_specs=hyp_spec,
+        grid_spec=grid_spec,
         interpret=interpret,
-    )(hx, hy, px, py, dx, dy, pv)
+        **kwargs,
+    )(block_act, hx, hy, px, py, dx, dy, pv)
     return out[:m, :h]
 
 
@@ -406,13 +441,14 @@ def vote_counts_jnp(
 
 def vote_counts(
     hyps, pts, dirs, pvalid, inlier_thresh, use_pallas: Optional[bool] = None,
-    interpret: bool = False,
+    interpret: bool = False, active: Optional[jax.Array] = None,
 ):
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     if use_pallas:
         return vote_counts_pallas(
-            hyps, pts, dirs, pvalid, inlier_thresh, interpret=interpret
+            hyps, pts, dirs, pvalid, inlier_thresh, interpret=interpret,
+            active=active,
         )
     return vote_counts_jnp(hyps, pts, dirs, pvalid, inlier_thresh)
 
@@ -590,7 +626,7 @@ def ransac_vote_centers(
         hyps = generate_hypotheses_rolled(key, s_pts, s_dirs, round_hyp_num)
         counts = vote_counts(
             hyps, s_pts, s_dirs, pvalid, inlier_thresh,
-            use_pallas=use_pallas, interpret=interpret,
+            use_pallas=use_pallas, interpret=interpret, active=active,
         )
         win_idx = jnp.argmax(counts, axis=-1)
         best_pts = jnp.take_along_axis(hyps, win_idx[:, None, None], axis=1)[:, 0]
@@ -610,7 +646,7 @@ def ransac_vote_centers(
         hyps = generate_hypotheses(k_hyp, s_pts, s_dirs, round_hyp_num)
         counts = vote_counts(
             hyps, s_pts, s_dirs, pvalid, inlier_thresh,
-            use_pallas=use_pallas, interpret=interpret,
+            use_pallas=use_pallas, interpret=interpret, active=active,
         )
         win_idx = jnp.argmax(counts, axis=-1)
         win_counts = jnp.take_along_axis(counts, win_idx[:, None], axis=1)[:, 0]
