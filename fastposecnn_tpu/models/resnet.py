@@ -107,62 +107,6 @@ class BottleneckBlock(nn.Module):
         return nn.relu(y + residual)
 
 
-class StemConv(nn.Module):
-    """The 7x7/s2 stem conv, computed via space-to-depth when possible.
-
-    A direct 7x7 conv on a 3-channel image is the worst case for the MXU
-    (3/128 of the contracting lanes used); it measured 0.36 ms of a 3.9 ms
-    inference frame. Rewriting it over a 2x2 space-to-depth input
-    (12 channels, 4x4/s1 kernel) computes the identical sum with 4x the
-    contraction depth. The parameter keeps the canonical [7,7,C,64] torch
-    shape (tree path `conv1/kernel`), so checkpoints and the torch->flax
-    converter are unaffected; the kernel is rearranged in-graph.
-
-    Derivation: with Kpad[u'] = K[u'-1] (u' = u+1, zero row/col at 0) and
-    u' = 2t + a, the original y[i,j] = sum K[u,v] x[2i+u-3, 2j+v-3] becomes
-    sum_{t,s,(a,b,c)} Kpad[2t+a, 2s+b, c] x2[i+t-2, j+s-2, (a,b,c)]:
-    a 4x4 stride-1 conv with padding (2,1) on the s2d image.
-    """
-
-    features: int = 64
-    dtype: jnp.dtype = jnp.float32
-
-    @nn.compact
-    def __call__(self, x):
-        b, h, w, c = x.shape
-        kernel = self.param(
-            "kernel",
-            nn.initializers.lecun_normal(),
-            (7, 7, c, self.features),
-            jnp.float32,
-        )
-        import jax.lax as lax
-
-        if h % 2 or w % 2:
-            # odd sizes: plain conv (shapes are static, so this is free)
-            return lax.conv_general_dilated(
-                x.astype(self.dtype), kernel.astype(self.dtype),
-                (2, 2), [(3, 3), (3, 3)],
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            )
-        x2 = (
-            x.reshape(b, h // 2, 2, w // 2, 2, c)
-            .transpose(0, 1, 3, 2, 4, 5)
-            .reshape(b, h // 2, w // 2, 4 * c)
-        )
-        kpad = jnp.pad(kernel, [(1, 0), (1, 0), (0, 0), (0, 0)])  # [8,8,C,O]
-        k2 = (
-            kpad.reshape(4, 2, 4, 2, c, self.features)
-            .transpose(0, 2, 1, 3, 4, 5)
-            .reshape(4, 4, 4 * c, self.features)
-        )
-        return lax.conv_general_dilated(
-            x2.astype(self.dtype), k2.astype(self.dtype),
-            (1, 1), [(2, 1), (2, 1)],
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
-
-
 class ResNetEncoder(nn.Module):
     """Returns the 6-feature pyramid described in the module docstring."""
 
@@ -179,7 +123,13 @@ class ResNetEncoder(nn.Module):
         block_cls = BasicBlock if spec.block == "basic" else BottleneckBlock
         features = [x]
 
-        y = StemConv(64, dtype=self.dtype, name="conv1")(x)
+        # Stem stays a plain 7x7/s2 conv: XLA's fused im2col lowering runs
+        # 0.36 ms/frame at 480p. An explicit 2x2 space-to-depth rewrite
+        # (4x4/s1 on 12 channels — mathematically identical, probed in git
+        # history) measured 0.64 ms because the input rearrange lowers to
+        # unfused lane-shuffle relayouts (reshape 0.34 + copies 0.26).
+        y = nn.Conv(64, (7, 7), strides=2, padding=3, use_bias=False,
+                    dtype=self.dtype, name="conv1")(x)
         y = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=jnp.float32, name="bn1",

@@ -54,7 +54,9 @@ def aggregate_instances(
 
     labels = label_components(cat_mask != 0, max_iters=cc_max_iters,
                               use_pallas=use_pallas)
-    masks, valid = extract_instances(labels, max_instances)  # [B,N,H,W], [B,N]
+    masks, valid, roots = extract_instances(
+        labels, max_instances, return_roots=True
+    )  # [B,N,H,W], [B,N], [B,N]
 
     flat_masks = masks.reshape(b, max_instances, h * w)
     areas = jnp.sum(flat_masks, axis=-1)  # [B, N]
@@ -92,4 +94,10 @@ def aggregate_instances(
         "z": z * vf,
         "xy_dense": cat_data["xy"],
         "cat_mask": cat_mask,
+        # CC label map + per-slot roots: lets the voting point sampler test
+        # pixel->instance membership with a label compare folded into its
+        # direction gather instead of a second gather from the 16x larger
+        # instance-mask stack.
+        "cc_labels": labels,
+        "cc_roots": roots,
     }

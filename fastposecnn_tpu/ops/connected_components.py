@@ -216,13 +216,16 @@ def label_components(
 
 
 def extract_instances(
-    labels: jax.Array, max_instances: int
-) -> tuple[jax.Array, jax.Array]:
+    labels: jax.Array, max_instances: int, return_roots: bool = False
+):
     """Root-index label map [B, H, W] -> padded per-instance binary masks.
 
     Returns:
       masks: [B, max_instances, H, W] float32 binary instance masks
       valid: [B, max_instances] bool
+      roots: [B, max_instances] int32 root linear index per slot (_BIG on
+             invalid slots) — only when `return_roots=True`; lets callers
+             test pixel membership against the label map directly
 
     Instance slots are ordered by component root (row-major first pixel),
     matching scipy.ndimage.label's 1..n ordering. If an image has more than
@@ -253,6 +256,9 @@ def extract_instances(
         )
         valid = roots != _BIG
         masks = (flat[None, :] == roots[:, None]) & valid[:, None]
-        return masks.reshape(max_instances, h, w).astype(jnp.float32), valid
+        return masks.reshape(max_instances, h, w).astype(jnp.float32), valid, roots
 
-    return jax.vmap(per_image)(labels)
+    masks, valid, roots = jax.vmap(per_image)(labels)
+    if return_roots:
+        return masks, valid, roots
+    return masks, valid

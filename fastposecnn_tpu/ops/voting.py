@@ -115,6 +115,8 @@ def sample_mask_points_bbox(
     inst_masks: jax.Array,  # [B, N, H, W] binary
     xy_dense: jax.Array,  # [B, H, W, 2] unit-vector field
     max_points: int,
+    labels: Optional[jax.Array] = None,  # [B, H, W] CC root map
+    roots: Optional[jax.Array] = None,  # [B, N] per-slot root index
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Rejection sampling from each instance's bounding box.
 
@@ -157,10 +159,29 @@ def sample_mask_points_bbox(
     py = jnp.clip(py, 0, h - 1).astype(jnp.float32)
     idx = (py * w + px).astype(jnp.int32)
 
-    on_mask = jnp.take_along_axis(flat, idx, axis=-1) > 0
+    if labels is not None and roots is not None:
+        # Fold the mask-membership test into the direction gather: fetch
+        # (dir_x, dir_y, cc_label) in ONE gather from a [B, HW, 3] array and
+        # compare the label to the instance's root. The separate membership
+        # gather from the [B, N, HW] mask stack measured 0.17 ms/frame.
+        # Root indices < HW < 2^24, so the f32 round trip is exact.
+        combo = jnp.concatenate(
+            [
+                xy_dense.reshape(b, hw, 2),
+                labels.reshape(b, hw, 1).astype(jnp.float32),
+            ],
+            axis=-1,
+        )
+        g = jnp.take_along_axis(
+            combo, idx.reshape(b, n * max_points, 1), axis=1
+        ).reshape(b, n, max_points, 3)
+        dirs = g[..., :2]
+        on_mask = g[..., 2].astype(jnp.int32) == roots[..., None]
+    else:
+        on_mask = jnp.take_along_axis(flat, idx, axis=-1) > 0
+        dirs = _gather_dirs(xy_dense, idx)
     pt_valid = on_mask & (npts > 0)[..., None]
     pts = jnp.stack([px, py], axis=-1)
-    dirs = _gather_dirs(xy_dense, idx)
     zero = pt_valid[..., None].astype(pts.dtype)
     return pts * zero, dirs * zero, npts, pt_valid
 
@@ -705,12 +726,15 @@ def hough_vote(
     """
     b, n = agg["valid"].shape
     k_sample, k_vote = jax.random.split(key)
-    sample_fn = (
-        sample_mask_points_bbox if sampler == "bbox" else sample_mask_points
-    )
-    pts, dirs, npts, pt_valid = sample_fn(
-        k_sample, agg["instance_masks"], agg["xy_dense"], max_points
-    )
+    if sampler == "bbox":
+        pts, dirs, npts, pt_valid = sample_mask_points_bbox(
+            k_sample, agg["instance_masks"], agg["xy_dense"], max_points,
+            labels=agg.get("cc_labels"), roots=agg.get("cc_roots"),
+        )
+    else:
+        pts, dirs, npts, pt_valid = sample_mask_points(
+            k_sample, agg["instance_masks"], agg["xy_dense"], max_points
+        )
     m = b * n
     winners, ratio, hyps = ransac_vote_centers(
         k_vote,
