@@ -122,11 +122,14 @@ def gather_matched(
     idx = match["pred_idx"]
 
     def take(field, index):
-        # field [B, N, ...] gathered along axis 1 with index [B, G]
-        ix = index.reshape(index.shape + (1,) * (field.ndim - 2))
-        return jnp.take_along_axis(
-            field, jnp.broadcast_to(ix, index.shape + field.shape[2:]), axis=1
-        )
+        # field [B, N, ...] gathered along axis 1 with index [B, G] — as a
+        # one-hot matmul rather than take_along_axis: N and G are tiny
+        # (instance slots), and the matmul's BACKWARD is also a matmul,
+        # whereas take_along_axis's backward is a scatter-add that XLA
+        # lowers to serialized while-loops (~1.5 ms of the stage-2 train
+        # step at batch 2 before this change).
+        onehot = jax.nn.one_hot(index, field.shape[1], dtype=field.dtype)
+        return jnp.einsum("bgn,bn...->bg...", onehot, field)
 
     for key in keys:
         if key in gts:

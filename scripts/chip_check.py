@@ -63,9 +63,14 @@ def main() -> int:
     dirs = np.stack([np.cos(ang), np.sin(ang)], -1).astype(np.float32)
     pv = (rng.random((m, p)) > 0.2).astype(np.float32)
 
+    # Exercise the scalar-prefetch block-skip path too: slots >= 12 inactive.
+    active = np.arange(m) < 12
+    pv = pv * active[:, None]
     counts_k = np.asarray(
         jax.jit(
-            lambda *a: vote_counts_pallas(*a, 0.999, interpret=interpret)
+            lambda *a: vote_counts_pallas(
+                *a, 0.999, interpret=interpret, active=jnp.asarray(active)
+            )
         )(hyps, pts, dirs, pv)
     )
     counts_r = np.asarray(

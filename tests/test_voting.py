@@ -55,6 +55,20 @@ class TestVoteCounts:
         got = vote_counts_pallas(hyps, pts, dirs, pvalid, 0.999, interpret=True)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
 
+    def test_pallas_active_block_skip(self, rng):
+        # m=10 over m_block=8 -> 2 blocks; only slots 0-2 active, so the
+        # second block is skipped entirely via scalar prefetch. Counts must
+        # equal the jnp reference with the inactive slots' points zeroed
+        # (pvalid folds `active` in the production caller).
+        hyps, pts, dirs, pvalid = self._setup(rng, m=10)
+        active = jnp.asarray([True] * 3 + [False] * 7)
+        pv = pvalid * active[:, None]
+        ref = vote_counts_jnp(hyps, pts, dirs, pv, 0.999)
+        got = vote_counts_pallas(hyps, pts, dirs, pv, 0.999, interpret=True,
+                                 active=active)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+        assert not np.any(np.asarray(got)[3:])
+
     def test_counts_brute_force(self, rng):
         hyps, pts, dirs, pvalid = self._setup(rng, m=2, p=64, hcount=16)
         ref = np.zeros((2, 16))
