@@ -31,15 +31,27 @@ APS_NUM_OF_POINTS = 50  # FPC/evaluate.py:40
 
 def collect_raw_errors(hp, valid_loader, state, net, pcfg, inv_K,
                        draw: int = 0, draw_dir=None,
-                       fpc_compat_iou: bool = False):
+                       fpc_compat_iou: bool = False, mesh=None):
     """Phase A: forward + match + per-class raw errors (+ optional figures,
-    FPC/evaluate.py:161-187 DRAW)."""
+    FPC/evaluate.py:161-187 DRAW).
+
+    `mesh`: optional ('dp','tp') Mesh — the batch is sharded over dp and
+    params replicated, so the forward runs data-parallel across devices.
+    The reference's evaluator is single-GPU with a literal
+    "! Make it work with multiple GPUs" TODO (FPC/evaluate.py:90); here the
+    same jitted program partitions over however many chips are attached.
+    """
     import jax
     import jax.numpy as jnp
 
     from fastposecnn_tpu import eval_host
     from fastposecnn_tpu.ops.matching import gather_matched, match_instances
     from fastposecnn_tpu.pipeline import run_pipeline
+
+    if mesh is not None:
+        from fastposecnn_tpu.parallel import replicate
+
+        state = replicate(state, mesh)
 
     @jax.jit
     def forward_match(params, batch_stats, batch, key):
@@ -65,7 +77,7 @@ def collect_raw_errors(hp, valid_loader, state, net, pcfg, inv_K,
         if batch is None:
             continue
         batch, n_real = _pad_batch(batch, hp.BATCH_SIZE)
-        db = _to_device_batch(batch, None)
+        db = _to_device_batch(batch, mesh)
         matched, out = forward_match(
             state.params, state.batch_stats, db, jax.random.key(bi)
         )
@@ -271,9 +283,20 @@ def main(argv=None):
             state, hp = ckpt.load_any_checkpoint(hp.CHECKPOINT, state, hp)
         pcfg = C.pipeline_config_from(hp)
         inv_K = np.linalg.inv(constants.INTRINSICS[hp.DATASET_NAME])
+        mesh = None
+        if (
+            hp.NUM_DEVICES > 1
+            and len(jax.devices()) >= hp.NUM_DEVICES
+            and hp.BATCH_SIZE % hp.NUM_DEVICES == 0
+        ):
+            from fastposecnn_tpu.parallel import make_mesh
+
+            mesh = make_mesh(hp.NUM_DEVICES)
+            print(f"phase A: data-parallel over {mesh.shape} mesh")
         raw = collect_raw_errors(hp, loader, state, net, pcfg, inv_K,
                                  draw=args.draw, draw_dir=out_dir,
-                                 fpc_compat_iou=args.fpc_compat_iou)
+                                 fpc_compat_iou=args.fpc_compat_iou,
+                                 mesh=mesh)
         np.savez(
             results_path,
             **{f"{m}/{c}": v for m, per in raw.items() for c, v in per.items()},
