@@ -145,10 +145,12 @@ def _save_comparison_figure(hp, batch, matched, out, bi, draw_dir):
 
 
 def compute_aps(raw, class_names):
-    """Phase B AP computation (FPC/evaluate.py:196-330)."""
-    import jax.numpy as jnp
+    """Phase B AP computation (FPC/evaluate.py:196-330).
 
-    from fastposecnn_tpu import geometry
+    Pure host numpy (eval_host mirrors of the jnp AP math): f64 end to end
+    and zero device traffic — the eager jnp formulation pushed ~200 tiny
+    ops through the remote-TPU tunnel at ~0.4 s each."""
+    from fastposecnn_tpu import eval_host
 
     figure_thresholds = {
         "3d_iou": np.linspace(0, 1, APS_NUM_OF_POINTS),
@@ -168,13 +170,11 @@ def compute_aps(raw, class_names):
             aps[metric] = {}
             curves = []
             for c, values in per_class.items():
-                curve = np.asarray(
-                    geometry.calculate_ap(
-                        jnp.asarray(values),
-                        jnp.ones(values.shape, bool),
-                        jnp.asarray(thresholds[metric]),
-                        greater_is_better=greater[metric],
-                    )
+                curve = eval_host.calculate_ap(
+                    values,
+                    np.ones(values.shape, bool),
+                    thresholds[metric],
+                    greater_is_better=greater[metric],
                 )
                 aps[metric][class_names[c]] = curve
                 curves.append(curve)
@@ -192,12 +192,8 @@ def compute_aps(raw, class_names):
     for c in raw["degree_error"]:
         d = raw["degree_error"][c]
         o = raw["offset_error"][c]
-        curve = np.asarray(
-            geometry.calculate_joint_ap(
-                jnp.asarray(d), jnp.asarray(o),
-                jnp.ones(d.shape, bool),
-                jnp.asarray(deg_t), jnp.asarray(off_t),
-            )
+        curve = eval_host.calculate_joint_ap(
+            d, o, np.ones(d.shape, bool), deg_t, off_t,
         )
         joint[class_names[c]] = curve
         curves.append(curve)

@@ -21,9 +21,8 @@ from typing import Dict
 import numpy as np
 
 from fastposecnn_tpu import constants
-from fastposecnn_tpu import geometry
 
-import jax.numpy as jnp
+
 
 
 @dataclasses.dataclass
@@ -97,13 +96,22 @@ def generate_scene(rng: np.random.Generator, cfg: SceneConfig) -> Dict[str, np.n
         valid[k] = True
         placed += 1
 
-    # Derive T / R / RT from (quat, xy, z) with the shared geometry code.
+    # Derive T / R / RT from (quat, xy, z) in host numpy. (This used to call
+    # the jnp geometry code eagerly; on a remote-TPU backend every eager op
+    # is a ~0.4 s AOT round trip, turning synthetic data generation into
+    # seconds per scene. scipy's quaternion->R matches geometry.quat_to_rotmat
+    # exactly — tests/test_geometry.py::TestQuatRotmat.)
+    import scipy.spatial.transform as _sst
+
     inv_intr = np.linalg.inv(intr)
-    R, T, RT = geometry.batch_get_RT(
-        jnp.asarray(quats), jnp.asarray(xys), jnp.asarray(zs)[:, None],
-        jnp.asarray(inv_intr),
-    )
-    R, T, RT = (np.array(R), np.array(T), np.array(RT))  # writable copies
+    z_m = zs[:, None] / 1000.0
+    T = np.concatenate([xys * z_m, z_m], axis=-1) @ inv_intr.T
+    q_safe = np.where(valid[:, None], quats, np.asarray([0.0, 0.0, 0.0, 1.0]))
+    R = _sst.Rotation.from_quat(q_safe).as_matrix()
+    RT = np.zeros((g, 4, 4))
+    RT[:, :3, :3] = R
+    RT[:, :3, 3] = -np.einsum("kij,kj->ki", R, T)
+    RT[:, 3, 3] = 1.0
     R[~valid] = 0
     T[~valid] = 0
     RT[~valid] = 0

@@ -140,3 +140,34 @@ def offset_error_cm(gt_T: np.ndarray, pred_T: np.ndarray) -> np.ndarray:
     ) * 10.0
     assert out.dtype == np.float64
     return out
+
+
+def calculate_ap(values, valid, thresholds, greater_is_better):
+    """Numpy mirror of geometry.calculate_ap (f64, zero device traffic).
+
+    Phase-B AP math ran ~200 eager jnp ops through the remote-TPU tunnel
+    (~0.4 s each); host numpy keeps the two-phase evaluator snappy and in
+    float64 throughout.
+    """
+    values = np.asarray(values, np.float64)
+    valid = np.asarray(valid, bool) & np.isfinite(values)
+    thresholds = np.asarray(thresholds, np.float64)
+    if greater_is_better:
+        hit = values[None, :] > thresholds[:, None]
+    else:
+        hit = values[None, :] < thresholds[:, None]
+    hit = hit & valid[None, :]
+    denom = max(int(valid.sum()), 1)
+    return hit.sum(axis=1) / denom
+
+
+def calculate_joint_ap(values_a, values_b, valid, thresholds_a, thresholds_b):
+    """Numpy mirror of geometry.calculate_joint_ap (5deg5cm-style)."""
+    a = np.asarray(values_a, np.float64)
+    b = np.asarray(values_b, np.float64)
+    valid = np.asarray(valid, bool) & np.isfinite(a) & np.isfinite(b)
+    ta = np.asarray(thresholds_a, np.float64)
+    tb = np.asarray(thresholds_b, np.float64)
+    hit = (a[None, :] < ta[:, None]) & (b[None, :] < tb[:, None]) & valid[None, :]
+    denom = max(int(valid.sum()), 1)
+    return hit.sum(axis=1) / denom

@@ -43,8 +43,11 @@ def enable_compilation_cache() -> None:
     try:
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
-        # Cache everything that takes noticeable time; tiny programs skip.
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # Cache EVERY compile: through a remote-chip tunnel even a trivial
+        # eager op costs ~0.4 s to AOT-compile, and host code paths can
+        # dispatch hundreds of them (measured ~200 s of an eval sweep before
+        # phase B moved to numpy). Entries are a few KB each.
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     except Exception:
         # Older jax or read-only filesystem: run uncached rather than fail.

@@ -238,6 +238,35 @@ class TestEvalHostParity:
         off_got = eval_host.offset_error_cm(T, T + 0.05)
         np.testing.assert_allclose(off_got, off_want, atol=1e-12)
 
+    def test_ap_curves(self, rng):
+        from fastposecnn_tpu import eval_host
+
+        vals = rng.uniform(0, 60, size=100)
+        vals[::17] = np.nan
+        valid = rng.random(100) > 0.2
+        thr = np.linspace(0, 60, 50)
+        for greater in (False, True):
+            want = np.asarray(
+                geometry.calculate_ap(
+                    jnp.asarray(vals), jnp.asarray(valid), jnp.asarray(thr),
+                    greater_is_better=greater,
+                )
+            )
+            got = eval_host.calculate_ap(vals, valid, thr,
+                                         greater_is_better=greater)
+            np.testing.assert_allclose(got, want, atol=1e-12)
+        off = rng.uniform(0, 10, size=100)
+        want = np.asarray(
+            geometry.calculate_joint_ap(
+                jnp.asarray(vals), jnp.asarray(off), jnp.asarray(valid),
+                jnp.asarray([5.0, 10.0]), jnp.asarray([5.0, 10.0]),
+            )
+        )
+        got = eval_host.calculate_joint_ap(
+            vals, off, valid, np.asarray([5.0, 10.0]), np.asarray([5.0, 10.0])
+        )
+        np.testing.assert_allclose(got, want, atol=1e-12)
+
 
 class TestSafeNormalizeGradients:
     def test_finite_grad_at_zero_vectors(self):
