@@ -53,6 +53,8 @@ class HParams:
     BATCH_SIZE: int = 3
     NUM_WORKERS: int = 4
     NUM_DEVICES: int = 1  # replaces NUM_GPUS; devices in the jax mesh
+    NUM_TP: int = 1  # tensor-parallel factor inside the mesh (dp = N/tp);
+    # conv channels + optimizer moments shard over 'tp' (shard_state_tp)
     TRAIN_SIZE: Optional[int] = 100
     VALID_SIZE: Optional[int] = 20
 

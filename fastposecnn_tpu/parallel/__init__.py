@@ -4,4 +4,5 @@ from fastposecnn_tpu.parallel.mesh import (  # noqa: F401
     replicate,
     shard_batch,
     shard_batch_multihost,
+    shard_state_tp,
 )

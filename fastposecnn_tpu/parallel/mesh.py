@@ -94,3 +94,39 @@ def make_multislice_mesh(n_slices: int, devices_per_slice: int, tp: int = 1):
 def replicate(tree, mesh: Mesh):
     sharding = replicated(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def shard_state_tp(state, mesh: Mesh, min_channels: int = 128):
+    """Place a train state with conv output channels sharded over 'tp'.
+
+    Real tensor parallelism for a convnet, the GSPMD way: every 4-D conv
+    kernel [kh, kw, cin, cout] whose cout divides the 'tp' axis size (and is
+    at least `min_channels`, so tiny stem/head convs stay replicated) is
+    laid out P(None, None, None, 'tp'). XLA then partitions each conv's
+    output-channel arithmetic across 'tp' and inserts the activation
+    collectives where a consumer needs the full channel axis — no manual
+    kernel surgery. The SAME rule is applied to every leaf of the optimizer
+    state (radam moments, lookahead slow weights mirror the param tree by
+    shape), so optimizer memory scales down with 'tp' too.
+
+    With tp == 1 this degrades to `replicate`. The reference has no model
+    parallelism at all (SURVEY §2.3); this is the capability extension for
+    backbones too wide for one chip's HBM.
+    """
+    tp = mesh.shape["tp"]
+    if tp == 1:
+        return replicate(state, mesh)
+    repl = replicated(mesh)
+    tp_last = NamedSharding(mesh, P(None, None, None, "tp"))
+
+    def place(x):
+        shape = getattr(x, "shape", ())
+        if (
+            len(shape) == 4
+            and shape[-1] % tp == 0
+            and shape[-1] >= min_channels
+        ):
+            return jax.device_put(x, tp_last)
+        return jax.device_put(x, repl)
+
+    return jax.tree.map(place, state)

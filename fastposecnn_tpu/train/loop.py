@@ -22,7 +22,7 @@ import numpy as np
 from fastposecnn_tpu import metrics as M
 from fastposecnn_tpu.config import HParams, pipeline_config_from
 from fastposecnn_tpu.models import PoseRegressorNet
-from fastposecnn_tpu.parallel import make_mesh, replicate, shard_batch
+from fastposecnn_tpu.parallel import make_mesh, shard_batch, shard_state_tp
 from fastposecnn_tpu.train import checkpoint as ckpt
 from fastposecnn_tpu.train import optim
 from fastposecnn_tpu.train.task import (
@@ -170,7 +170,7 @@ def fit(
     flog.info("hparams: %s", hp.to_json().replace("\n", " "))
 
     if mesh is None and len(jax.devices()) > 1 and hp.NUM_DEVICES > 1:
-        mesh = make_mesh(hp.NUM_DEVICES)
+        mesh = make_mesh(hp.NUM_DEVICES, tp=hp.NUM_TP)
 
     net = PoseRegressorNet(
         num_classes=hp.num_classes,
@@ -185,7 +185,7 @@ def fit(
     if resume_from:
         state, hp = ckpt.load_checkpoint(resume_from, state, hp)
     if mesh is not None:
-        state = replicate(state, mesh)
+        state = shard_state_tp(state, mesh)  # == replicate when tp=1
 
     train_step = jax.jit(make_train_step(net, optimizer, hp, pcfg, inv_intrinsics))
     eval_step = jax.jit(make_eval_step(net, hp, pcfg, inv_intrinsics))

@@ -120,6 +120,43 @@ class TestDataParallel:
         leaf = jax.tree.leaves(state.params)[0]
         assert leaf.sharding.is_fully_replicated
 
+    @pytest.mark.slow
+    def test_tp_sharded_matches_replicated(self, rng):
+        """Tensor-parallel weight sharding is numerics-neutral: one step on
+        a dp=2 x tp=2 mesh with conv channels sharded over 'tp' produces the
+        same loss as the replicated run (same program, partitioned)."""
+        from fastposecnn_tpu.parallel import shard_state_tp
+
+        hp, net, pcfg, scfg, inv_K = tiny_setup()
+        opt = optim.make_optimizer(hp)
+        base = create_train_state(net, opt, jax.random.key(0), hp)
+        step = jax.jit(make_train_step(net, opt, hp, pcfg, inv_K))
+        batch_host = make_batch(rng, scfg, 4)
+
+        mesh_r = make_mesh(4, tp=1)
+        s1, l1 = step(replicate(base, mesh_r), shard_batch(batch_host, mesh_r),
+                      jax.random.key(1))
+        mesh_tp = make_mesh(4, tp=2)
+        state_tp = shard_state_tp(base, mesh_tp, min_channels=16)
+        sharded = [
+            x for x in jax.tree.leaves(state_tp.params)
+            if "tp" in str(x.sharding.spec)
+        ]
+        assert sharded, "rule sharded no conv kernels"
+        s2, l2 = step(state_tp, shard_batch(batch_host, mesh_tp),
+                      jax.random.key(1))
+        np.testing.assert_allclose(
+            float(l2["pose/total_loss"]), float(l1["pose/total_loss"]),
+            rtol=1e-4,
+        )
+        # updated params keep (at least) their tp sharding — GSPMD may
+        # propagate 'tp' onto additional unconstrained outputs, never fewer
+        still = [
+            x for x in jax.tree.leaves(s2.params)
+            if "tp" in str(x.sharding.spec)
+        ]
+        assert len(still) >= len(sharded)
+
 
 class TestOptim:
     def test_plateau(self):
