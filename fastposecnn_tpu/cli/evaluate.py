@@ -49,9 +49,9 @@ def collect_raw_errors(hp, valid_loader, state, net, pcfg, inv_K,
     from fastposecnn_tpu.pipeline import run_pipeline
 
     if mesh is not None:
-        from fastposecnn_tpu.parallel import replicate
+        from fastposecnn_tpu.parallel import shard_state_tp
 
-        state = replicate(state, mesh)
+        state = shard_state_tp(state, mesh)  # == replicate when tp=1
 
     @jax.jit
     def forward_match(params, batch_stats, batch, key):
@@ -283,11 +283,12 @@ def main(argv=None):
         if (
             hp.NUM_DEVICES > 1
             and len(jax.devices()) >= hp.NUM_DEVICES
-            and hp.BATCH_SIZE % hp.NUM_DEVICES == 0
+            # the batch shards over dp = NUM_DEVICES / NUM_TP only
+            and hp.BATCH_SIZE % max(hp.NUM_DEVICES // hp.NUM_TP, 1) == 0
         ):
             from fastposecnn_tpu.parallel import make_mesh
 
-            mesh = make_mesh(hp.NUM_DEVICES)
+            mesh = make_mesh(hp.NUM_DEVICES, tp=hp.NUM_TP)
             print(f"phase A: data-parallel over {mesh.shape} mesh")
         raw = collect_raw_errors(hp, loader, state, net, pcfg, inv_K,
                                  draw=args.draw, draw_dir=out_dir,
