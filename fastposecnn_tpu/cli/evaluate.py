@@ -53,8 +53,11 @@ def collect_raw_errors(hp, valid_loader, state, net, pcfg, inv_K,
 
         state = shard_state_tp(state, mesh)  # == replicate when tp=1
 
+    from fastposecnn_tpu.train.task import upcast_batch
+
     @jax.jit
     def forward_match(params, batch_stats, batch, key):
+        batch = upcast_batch(batch)
         variables = {"params": params, "batch_stats": batch_stats}
         logits = net.apply(variables, batch["image"], train=False)
         out = run_pipeline(logits, key, pcfg, jnp.asarray(inv_K, jnp.float32))

@@ -42,6 +42,11 @@ def main(argv=None):
     parser.add_argument("--valid_dir", default=None)
     parser.add_argument("--synthetic", type=int, default=0,
                         help="generate N synthetic samples instead of reading disk")
+    parser.add_argument("--synthetic_pose_cues", action="store_true",
+                        help="render synthetic scenes with pose-informative "
+                             "cues (projected size + orientation shading) so "
+                             "quaternion/z/scales are learnable, not just "
+                             "mask/xy")
     parser.add_argument("--epochs", type=int, default=None)
     parser.add_argument("--no_tb", action="store_true")
     parser.add_argument("--resume", default=None)
@@ -70,6 +75,7 @@ def main(argv=None):
         scfg = SceneConfig(
             height=hp.IMAGE_HEIGHT, width=hp.IMAGE_WIDTH,
             num_classes=hp.num_classes, max_instances=hp.MAX_INSTANCES,
+            render_pose_cues=args.synthetic_pose_cues,
         )
         train_dir = write_synthetic_nocs(tmp / "train", args.synthetic, 0, scfg)
         valid_dir = write_synthetic_nocs(

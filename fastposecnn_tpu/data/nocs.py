@@ -227,7 +227,7 @@ class NOCSDataset:
         agg = {
             "class_ids": np.zeros((g,), np.int32),
             "symmetric_ids": np.zeros((g,), np.int32),
-            "instance_masks": np.zeros((g, h, w), np.float32),
+            "instance_masks": np.zeros((g, h, w), np.uint8),
             "quaternion": np.zeros((g, 4), np.float32),
             "scales": np.zeros((g, 3), np.float32),
             "xy": np.zeros((g, 2), np.float32),
@@ -270,7 +270,7 @@ class NOCSDataset:
         return {
             "path": str(fp),
             "image": image,
-            "mask": class_mask,
+            "mask": class_mask.astype(np.uint8),
             "depth": depth.astype(np.float32),
             "agg": agg,
         }

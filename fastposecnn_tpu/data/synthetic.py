@@ -37,6 +37,13 @@ class SceneConfig:
     scale_range: tuple = (0.08, 0.4)
     box_half_extent: tuple = (8, 26)
     dataset: str = "CAMERA"
+    # Pose-informative rendering: when True, an instance's pixel extent is
+    # derived from its physical scales and depth (so z and scales are
+    # observable) and its fill color is Lambert-shaded by the rotated
+    # object normal (so the quaternion is observable up to the shading
+    # symmetry). Default False keeps the legacy flat render that the
+    # pipeline-mechanics tests were tuned on.
+    render_pose_cues: bool = False
 
 
 def _quat_random(rng) -> np.ndarray:
@@ -70,10 +77,26 @@ def generate_scene(rng: np.random.Generator, cfg: SceneConfig) -> Dict[str, np.n
     n_inst = int(rng.integers(cfg.min_instances, cfg.max_scene_instances + 1))
     occupied = np.zeros((h, w), bool)
     placed = 0
+    fx = intr[0, 0]
     for _ in range(n_inst * 4):
         if placed >= n_inst:
             break
-        hw_half = rng.integers(cfg.box_half_extent[0], cfg.box_half_extent[1], 2)
+        inst_scales = rng.uniform(*cfg.scale_range, 3)
+        inst_z = float(rng.uniform(*cfg.z_range))
+        if cfg.render_pose_cues:
+            # pixel half-extent = projected physical half-extent (m -> px):
+            # scales are edge lengths in meters, z in mm.
+            half_w = int(np.clip(inst_scales[0] / 2 * fx / (inst_z / 1000),
+                                 3, w // 3))
+            half_h = int(np.clip(inst_scales[1] / 2 * fx / (inst_z / 1000),
+                                 3, h // 3))
+            hw_half = np.asarray([half_h, half_w])
+        else:
+            hw_half = rng.integers(
+                cfg.box_half_extent[0], cfg.box_half_extent[1], 2
+            )
+        if hw_half[0] + 2 >= h // 2 or hw_half[1] + 2 >= w // 2:
+            continue
         cy = int(rng.integers(hw_half[0] + 1, h - hw_half[0] - 1))
         cx = int(rng.integers(hw_half[1] + 1, w - hw_half[1] - 1))
         y0, y1 = cy - hw_half[0], cy + hw_half[0]
@@ -90,9 +113,9 @@ def generate_scene(rng: np.random.Generator, cfg: SceneConfig) -> Dict[str, np.n
         class_ids[k] = cls
         sym_ids[k] = 1 if cls in sym_class_set else 0
         quats[k] = _quat_random(rng)
-        scales[k] = rng.uniform(*cfg.scale_range, 3)
+        scales[k] = inst_scales
         xys[k] = (cx, cy)
-        zs[k] = rng.uniform(*cfg.z_range)
+        zs[k] = inst_z
         valid[k] = True
         placed += 1
 
@@ -116,13 +139,22 @@ def generate_scene(rng: np.random.Generator, cfg: SceneConfig) -> Dict[str, np.n
     T[~valid] = 0
     RT[~valid] = 0
 
-    # Simple render: class-colored boxes + noise.
+    # Simple render: class-colored boxes + noise. With render_pose_cues the
+    # fill is Lambert-shaded by the rotated object +z normal (rotation
+    # observable) and a second tint channel carries the rotated +x axis.
     image = rng.normal(0.0, 0.05, size=(h, w, 3)).astype(np.float32)
     for k in range(g):
         if valid[k]:
             color = np.asarray(
                 [0.2 + 0.1 * class_ids[k], 0.9 - 0.1 * class_ids[k], 0.4]
             )
+            if cfg.render_pose_cues:
+                n_z = R[k] @ np.asarray([0.0, 0.0, 1.0])
+                n_x = R[k] @ np.asarray([1.0, 0.0, 0.0])
+                shade = 0.55 + 0.45 * n_z[2]
+                color = color * shade + 0.25 * np.asarray(
+                    [n_x[0], n_x[1], n_x[2]]
+                )
             image[inst_masks[k] > 0] += color
 
     return {
@@ -153,12 +185,19 @@ def make_batch(
     scenes = [generate_scene(rng, cfg) for _ in range(batch_size)]
     batch = {
         "image": np.stack([s["image"] for s in scenes]),
-        "mask": np.stack([s["mask"] for s in scenes]),
+        # Compact wire dtypes: dense masks ship uint8 and are upcast
+        # in-graph (train/task.py upcast_batch) — the f32 GT instance-mask
+        # stack alone was 78 MB/step at 480p/batch-4, dominating host->device
+        # transfer through slow links.
+        "mask": np.stack([s["mask"] for s in scenes]).astype(np.uint8),
         "agg": {
             k: np.stack([s["agg"][k] for s in scenes])
             for k in scenes[0]["agg"]
         },
     }
+    batch["agg"]["instance_masks"] = batch["agg"]["instance_masks"].astype(
+        np.uint8
+    )
     return batch
 
 

@@ -50,9 +50,11 @@ def make_run_dir(hp: HParams, base: Optional[str] = None) -> pathlib.Path:
 
 
 def _to_device_batch(batch, mesh):
+    # Wire dtypes are preserved (dense masks travel uint8 — promoting here
+    # would ship 4x the bytes); `task.upcast_batch` promotes in-graph.
     db = {
         "image": jnp.asarray(batch["image"], jnp.float32),
-        "mask": jnp.asarray(batch["mask"], jnp.int32),
+        "mask": jnp.asarray(batch["mask"]),
         "agg": {k: jnp.asarray(v) for k, v in batch["agg"].items()},
     }
     if mesh is not None:

@@ -103,6 +103,25 @@ def _compute_losses(
     return total, logs, matched
 
 
+def upcast_batch(batch):
+    """Promote compact wire dtypes to compute dtypes, in-graph.
+
+    Dense GT masks travel host->device as uint8 (the f32 instance-mask
+    stack alone was 78 MB per 480p/batch-4 step); the cast to the compute
+    dtypes happens on device where it is free. Accepts already-promoted
+    batches unchanged, so hand-built f32 test batches keep working.
+    """
+    batch = dict(batch)
+    if batch["mask"].dtype != jnp.int32:
+        batch["mask"] = batch["mask"].astype(jnp.int32)
+    if "agg" in batch and batch["agg"] is not None:
+        agg = dict(batch["agg"])
+        if agg["instance_masks"].dtype != jnp.float32:
+            agg["instance_masks"] = agg["instance_masks"].astype(jnp.float32)
+        batch["agg"] = agg
+    return batch
+
+
 def make_train_step(net, optimizer, hp: HParams, pcfg: PipelineConfig,
                     inv_intrinsics):
     """Builds the jittable train step closure."""
@@ -110,6 +129,7 @@ def make_train_step(net, optimizer, hp: HParams, pcfg: PipelineConfig,
     perform_matching = hp.PERFORM_MATCHING and pcfg.perform_aggregation
 
     def train_step(state: TrainState, batch, rng):
+        batch = upcast_batch(batch)
         k_drop, k_pipe = jax.random.split(jax.random.fold_in(rng, state.step))
 
         def loss_fn(params):
@@ -168,6 +188,7 @@ def make_eval_step(net, hp: HParams, pcfg: PipelineConfig, inv_intrinsics):
     num_classes = hp.num_classes
 
     def eval_step(state: TrainState, batch, rng, metric_bank):
+        batch = upcast_batch(batch)
         variables = {"params": state.params, "batch_stats": state.batch_stats}
         logits = net.apply(variables, batch["image"], train=False)
         out = run_pipeline(logits, rng, pcfg, inv_K)
