@@ -25,6 +25,7 @@ def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--valid_dir", default=None)
     parser.add_argument("--synthetic", type=int, default=0)
+    parser.add_argument("--synthetic_pose_cues", action="store_true")
     parser.add_argument("--output", default=None, help="dir for PNGs")
     parser.add_argument("--draw", type=int, default=20,
                         help="save figures for first N batches")
@@ -69,7 +70,8 @@ def main(argv=None):
             pathlib.Path(tempfile.mkdtemp()) / "valid", args.synthetic, 0,
             SceneConfig(height=hp.IMAGE_HEIGHT, width=hp.IMAGE_WIDTH,
                         num_classes=hp.num_classes,
-                        max_instances=hp.MAX_INSTANCES),
+                        max_instances=hp.MAX_INSTANCES,
+                        render_pose_cues=args.synthetic_pose_cues),
         )
     ds = NOCSDataset(
         valid_dir, dataset_name=hp.DATASET_NAME,
