@@ -16,8 +16,11 @@ TPU-first deltas:
   - instances are padded to `max_instances` with a validity mask instead of
     ragged concatenation; a batch is {'image' [B,H,W,3], 'mask' [B,H,W],
     'agg' {k: [B,G,...]}} — exactly what the jitted train step consumes;
-  - images come out NHWC float32, ImageNet-normalized (the reference uses
-    smp.get_preprocessing_fn('resnet18','imagenet'), dataset.py:592-596).
+  - images come out NHWC uint8 and are ImageNet-normalized ON DEVICE
+    (train/task.py:upcast_batch) — same math as the reference's
+    smp.get_preprocessing_fn('resnet18','imagenet') (dataset.py:592-596)
+    at a quarter of the host->device bytes. `normalize=False` returns
+    un-normalized f32 in [0, 1].
 """
 
 from __future__ import annotations
@@ -125,26 +128,25 @@ class NOCSDataset:
         self.images_fps = self._scan(self.dataset_dir, max_size)
 
     def _read_image(self, fp, index: int = 0) -> np.ndarray:
-        """Decode, augment (pre-normalization, FPC dataset.py:242-257), and
-        (optionally) ImageNet-normalize the color image, using the native
-        libpng path when built (native/fpcnn_native.cpp)."""
+        """Decode and augment (pre-normalization, FPC dataset.py:242-257)
+        the color image, using the native libpng path when built
+        (native/fpcnn_native.cpp).
+
+        With `normalize=True` (the default) the image is returned as RAW
+        uint8 and ImageNet normalization happens ON DEVICE
+        (train/task.py:upcast_batch) — the f32 image was 29.5 MB per
+        batch-8 step of host->device traffic vs 7.4 MB as uint8, and the
+        subtract/divide is free inside the XLA program. `normalize=False`
+        returns un-normalized f32 in [0, 1] (legacy)."""
         if self.use_native:
             from fastposecnn_tpu.data import native_loader as nl
 
-            if self.normalize and not self.augmentation:
-                # fused decode+normalize fast path (no raw pixels needed)
-                h, w, c, bd = nl.png_info(fp)
-                if c in (3, 4) and bd == 8:
-                    return nl.decode_normalized(fp, h, w)
             raw = nl.decode_png(fp)
             if raw.ndim == 2:
                 raw = np.repeat(raw[..., None], 3, axis=-1)
-            img = raw[..., :3].astype(np.float32) / 255.0
+            raw = raw[..., :3]
         else:
-            img = (
-                np.asarray(Image.open(fp).convert("RGB")).astype(np.float32)
-                / 255.0
-            )
+            raw = np.asarray(Image.open(fp).convert("RGB"))
         if self.augmentation:
             from fastposecnn_tpu.data import augment as A
 
@@ -153,13 +155,18 @@ class NOCSDataset:
             aug_rng = np.random.default_rng(
                 (self.aug_seed, self.epoch, index)
             )
+            img = raw.astype(np.float32) / 255.0
             if self.augmentation == "train":
                 img = A.augment_pose_training(img, aug_rng)
             else:
                 img = A.augment_validation(img, aug_rng)
+            if self.normalize:
+                # back to the uint8 wire (quantization < 1/255 per channel)
+                return np.clip(img * 255.0, 0, 255).astype(np.uint8)
+            return img
         if self.normalize:
-            img = (img - IMAGENET_MEAN) / IMAGENET_STD
-        return img
+            return raw.astype(np.uint8)
+        return raw.astype(np.float32) / 255.0
 
     # -- scanning -------------------------------------------------------
     def _scan(self, root: pathlib.Path, max_size) -> List[pathlib.Path]:

@@ -53,7 +53,7 @@ def _to_device_batch(batch, mesh):
     # Wire dtypes are preserved (dense masks travel uint8 — promoting here
     # would ship 4x the bytes); `task.upcast_batch` promotes in-graph.
     db = {
-        "image": jnp.asarray(batch["image"], jnp.float32),
+        "image": jnp.asarray(batch["image"]),
         "mask": jnp.asarray(batch["mask"]),
         "agg": {k: jnp.asarray(v) for k, v in batch["agg"].items()},
     }

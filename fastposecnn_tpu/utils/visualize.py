@@ -25,7 +25,10 @@ from fastposecnn_tpu.utils import draw
 
 
 def denormalize_image(image: np.ndarray) -> np.ndarray:
-    """Undo ImageNet normalization to [0,1] for display."""
+    """Image to [0,1] for display: undo ImageNet normalization for f32
+    inputs; uint8 wire images (normalized on device) just rescale."""
+    if image.dtype == np.uint8:
+        return image.astype(np.float32) / 255.0
     mean = np.asarray([0.485, 0.456, 0.406])
     std = np.asarray([0.229, 0.224, 0.225])
     img = image * std + mean
