@@ -19,6 +19,7 @@ jax_enable_x64, which the TPU runtime does not support).
 from __future__ import annotations
 
 import argparse
+import functools
 import pathlib
 
 import numpy as np
@@ -55,8 +56,12 @@ def collect_raw_errors(hp, valid_loader, state, net, pcfg, inv_K,
 
     from fastposecnn_tpu.train.task import upcast_batch
 
-    @jax.jit
-    def forward_match(params, batch_stats, batch, key):
+    # The hot path returns only the matched payload; the full pipeline
+    # output (dense logits + categorical fields + instance-mask stack,
+    # ~0.6 GB/batch at 480p/8) is materialized ONLY for the first `draw`
+    # batches via a separate jitted program, so XLA can DCE everything the
+    # error math does not need.
+    def _forward(params, batch_stats, batch, key, with_out):
         batch = upcast_batch(batch)
         variables = {"params": params, "batch_stats": batch_stats}
         logits = net.apply(variables, batch["image"], train=False)
@@ -66,7 +71,10 @@ def collect_raw_errors(hp, valid_loader, state, net, pcfg, inv_K,
             out["aggregated"], batch["agg"], match,
             keys=("quaternion", "scales", "z", "xy", "T", "R", "RT"),
         )
-        return matched, out
+        return (matched, out) if with_out else (matched, None)
+
+    forward_match = jax.jit(functools.partial(_forward, with_out=False))
+    forward_match_draw = jax.jit(functools.partial(_forward, with_out=True))
 
     num_classes = hp.num_classes
     raw = {
@@ -81,11 +89,13 @@ def collect_raw_errors(hp, valid_loader, state, net, pcfg, inv_K,
             continue
         batch, n_real = _pad_batch(batch, hp.BATCH_SIZE)
         db = _to_device_batch(batch, mesh)
-        matched, out = forward_match(
+        drawing = draw and bi < draw and draw_dir is not None
+        fwd = forward_match_draw if drawing else forward_match
+        matched, out = fwd(
             state.params, state.batch_stats, db, jax.random.key(bi)
         )
         matched = jax.device_get(matched)
-        if draw and bi < draw and draw_dir is not None:
+        if drawing:
             _save_comparison_figure(hp, batch, matched, out, bi, draw_dir)
         valid = matched["valid"][:n_real]
         cls = matched["class_ids"][:n_real]

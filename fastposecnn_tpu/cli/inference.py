@@ -102,10 +102,13 @@ def main(argv=None):
         "rt_calculation": StageTimer("RT Calculation"),
     }
 
+    from fastposecnn_tpu.train.task import upcast_image
+
     @jax.jit
     def fused(params, batch_stats, image, key):
         logits = net.apply(
-            {"params": params, "batch_stats": batch_stats}, image, train=False
+            {"params": params, "batch_stats": batch_stats},
+            upcast_image(image), train=False
         )
         return run_pipeline(logits, key, pcfg, inv_K)
 
@@ -117,7 +120,8 @@ def main(argv=None):
     stage_fns = {
         "model": jax.jit(
             lambda p, bs, im: net.apply(
-                {"params": p, "batch_stats": bs}, im, train=False
+                {"params": p, "batch_stats": bs}, upcast_image(im),
+                train=False
             )
         ),
         "class_compress": jax.jit(PL.stage_class_compress),

@@ -77,7 +77,7 @@ def generate_scene(rng: np.random.Generator, cfg: SceneConfig) -> Dict[str, np.n
     n_inst = int(rng.integers(cfg.min_instances, cfg.max_scene_instances + 1))
     occupied = np.zeros((h, w), bool)
     placed = 0
-    fx = intr[0, 0]
+    fx, fy = intr[0, 0], intr[1, 1]
     for _ in range(n_inst * 4):
         if placed >= n_inst:
             break
@@ -88,7 +88,7 @@ def generate_scene(rng: np.random.Generator, cfg: SceneConfig) -> Dict[str, np.n
             # scales are edge lengths in meters, z in mm.
             half_w = int(np.clip(inst_scales[0] / 2 * fx / (inst_z / 1000),
                                  3, w // 3))
-            half_h = int(np.clip(inst_scales[1] / 2 * fx / (inst_z / 1000),
+            half_h = int(np.clip(inst_scales[1] / 2 * fy / (inst_z / 1000),
                                  3, h // 3))
             hw_half = np.asarray([half_h, half_w])
         else:

@@ -216,6 +216,9 @@ def offset_loss(matched: Dict[str, Array]) -> LossOut:
     pred_c = matched["pred_RT"][..., :3, :3].swapaxes(-1, -2) @ (
         -matched["pred_RT"][..., :3, 3:]
     )
+    # The x10 / /10 pair is the reference's own structure kept verbatim:
+    # from_RTs_get_T_offset_errors scales by 10 (gpu_tensor_funcs.py:563-565)
+    # and OffsetLoss divides the errors by 10 (loss.py:612).
     err = _safe_norm(gt_c[..., 0] - pred_c[..., 0]) * 10.0
     return _masked_mean(err / 10.0, matched["valid"])
 

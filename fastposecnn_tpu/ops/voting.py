@@ -715,6 +715,7 @@ def hough_vote(
     use_pallas: Optional[bool] = None,
     interpret: bool = False,
     refine: str = "dense",
+    min_num: int = 5,
 ) -> dict:
     """Attach voted 2D centers to the aggregation payload.
 
@@ -751,6 +752,7 @@ def hough_vote(
         use_pallas=use_pallas,
         interpret=interpret,
         refine="sampled" if refine == "sampled" else "none",
+        min_num=min_num,
     )
     if refine == "sampled":
         # LSQ over the sampled points only: ~0.3 ms/frame faster at 480p
@@ -767,7 +769,7 @@ def hough_vote(
             agg["xy_dense"],
             inlier_thresh,
         )
-        active = agg["valid"] & (npts >= 5)
+        active = agg["valid"] & (npts >= min_num)
         centers = jnp.where(active[..., None], centers, 0.0)
     out = dict(agg)
     out["xy"] = centers

@@ -103,8 +103,15 @@ def _compute_losses(
     return total, logs, matched
 
 
-_IMAGENET_MEAN = jnp.asarray([0.485, 0.456, 0.406], jnp.float32)
-_IMAGENET_STD = jnp.asarray([0.229, 0.224, 0.225], jnp.float32)
+def upcast_image(image):
+    """uint8 wire image -> ImageNet-normalized f32, in-graph; f32 images
+    pass through (assumed pre-normalized by their producer)."""
+    from fastposecnn_tpu.data.nocs import IMAGENET_MEAN, IMAGENET_STD
+
+    if image.dtype == jnp.uint8:
+        img = image.astype(jnp.float32) / 255.0
+        return (img - IMAGENET_MEAN) / IMAGENET_STD
+    return image
 
 
 def upcast_batch(batch):
@@ -117,9 +124,7 @@ def upcast_batch(batch):
     normalized by the producer), so hand-built test batches keep working.
     """
     batch = dict(batch)
-    if batch["image"].dtype == jnp.uint8:
-        img = batch["image"].astype(jnp.float32) / 255.0
-        batch["image"] = (img - _IMAGENET_MEAN) / _IMAGENET_STD
+    batch["image"] = upcast_image(batch["image"])
     if batch["mask"].dtype != jnp.int32:
         batch["mask"] = batch["mask"].astype(jnp.int32)
     if "agg" in batch and batch["agg"] is not None:

@@ -29,9 +29,9 @@ def denormalize_image(image: np.ndarray) -> np.ndarray:
     inputs; uint8 wire images (normalized on device) just rescale."""
     if image.dtype == np.uint8:
         return image.astype(np.float32) / 255.0
-    mean = np.asarray([0.485, 0.456, 0.406])
-    std = np.asarray([0.229, 0.224, 0.225])
-    img = image * std + mean
+    from fastposecnn_tpu.data.nocs import IMAGENET_MEAN, IMAGENET_STD
+
+    img = image * IMAGENET_STD + IMAGENET_MEAN
     return np.clip(img, 0, 1)
 
 
@@ -86,10 +86,12 @@ def colorize_scales(scales: np.ndarray) -> np.ndarray:
 
 def colorize_xy(xy: np.ndarray) -> np.ndarray:
     """Dense xy unit-vector field [H,W,2] -> RGB with y on red, x on blue
-    (FPC/tools/visualize.py:116-128 `get_visualized_simple_xy`)."""
+    (FPC/tools/visualize.py:116-128 `get_visualized_simple_xy`; the
+    reference's field is stored (y, x) — ours is (x, y), so the channels
+    swap here to render identically)."""
     out = np.zeros(xy.shape[:-1] + (3,), np.float32)
-    out[..., 0] = xy[..., 0]
-    out[..., 2] = xy[..., 1]
+    out[..., 0] = xy[..., 1]
+    out[..., 2] = xy[..., 0]
     return np.clip(out, 0.0, 1.0)
 
 
