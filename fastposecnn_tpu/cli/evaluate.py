@@ -295,16 +295,28 @@ def main(argv=None):
         pcfg = C.pipeline_config_from(hp)
         inv_K = np.linalg.inv(constants.INTRINSICS[hp.DATASET_NAME])
         mesh = None
-        if (
-            hp.NUM_DEVICES > 1
-            and len(jax.devices()) >= hp.NUM_DEVICES
-            # the batch shards over dp = NUM_DEVICES / NUM_TP only
-            and hp.BATCH_SIZE % max(hp.NUM_DEVICES // hp.NUM_TP, 1) == 0
-        ):
-            from fastposecnn_tpu.parallel import make_mesh
+        if hp.NUM_DEVICES > 1:
+            dp = max(hp.NUM_DEVICES // hp.NUM_TP, 1)
+            if len(jax.devices()) < hp.NUM_DEVICES:
+                print(
+                    f"WARNING: --NUM_DEVICES={hp.NUM_DEVICES} requested but "
+                    f"only {len(jax.devices())} device(s) visible — falling "
+                    "back to single-device evaluation."
+                )
+            elif hp.BATCH_SIZE % dp != 0:
+                # the batch shards over dp = NUM_DEVICES / NUM_TP only
+                print(
+                    f"WARNING: --NUM_DEVICES={hp.NUM_DEVICES} requested but "
+                    f"BATCH_SIZE={hp.BATCH_SIZE} is not divisible by "
+                    f"dp={hp.NUM_DEVICES}//NUM_TP({hp.NUM_TP})={dp} — "
+                    "falling back to single-device evaluation. Pick a "
+                    f"BATCH_SIZE that is a multiple of {dp}."
+                )
+            else:
+                from fastposecnn_tpu.parallel import make_mesh
 
-            mesh = make_mesh(hp.NUM_DEVICES, tp=hp.NUM_TP)
-            print(f"phase A: data-parallel over {mesh.shape} mesh")
+                mesh = make_mesh(hp.NUM_DEVICES, tp=hp.NUM_TP)
+                print(f"phase A: data-parallel over {mesh.shape} mesh")
         raw = collect_raw_errors(hp, loader, state, net, pcfg, inv_K,
                                  draw=args.draw, draw_dir=out_dir,
                                  fpc_compat_iou=args.fpc_compat_iou,

@@ -161,8 +161,12 @@ class NOCSDataset:
             else:
                 img = A.augment_validation(img, aug_rng)
             if self.normalize:
-                # back to the uint8 wire (quantization < 1/255 per channel)
-                return np.clip(img * 255.0, 0, 255).astype(np.uint8)
+                # back to the uint8 wire; rint so requantization is
+                # unbiased (truncation would shift every channel ~0.5/255
+                # down), quantization error < 0.5/255 per channel
+                return np.clip(np.rint(img * 255.0), 0, 255).astype(
+                    np.uint8
+                )
             return img
         if self.normalize:
             return raw.astype(np.uint8)

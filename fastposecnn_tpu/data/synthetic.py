@@ -37,12 +37,19 @@ class SceneConfig:
     scale_range: tuple = (0.08, 0.4)
     box_half_extent: tuple = (8, 26)
     dataset: str = "CAMERA"
-    # Pose-informative rendering: when True, an instance's pixel extent is
-    # derived from its physical scales and depth (so z and scales are
-    # observable) and its fill color is Lambert-shaded by the rotated
-    # object normal (so the quaternion is observable up to the shading
-    # symmetry). Default False keeps the legacy flat render that the
-    # pipeline-mechanics tests were tuned on.
+    # Pose-informative rendering: when True, each instance is a RAY-CAST
+    # oriented cuboid whose surface is colored by its normalized
+    # object-space coordinates (a NOCS coordinate map, exactly the signal
+    # the NOCS dataset itself paints — FPC consumes those as *_coord.png in
+    # create_meta+.py). The visible color gradient across the three faces
+    # pins the FULL rotation (no shading symmetry: every corner has a
+    # unique color), the silhouette size pins scales/z jointly, and a
+    # depth-dependent brightness ramp breaks the scale<->z projective
+    # degeneracy. Default False keeps the legacy flat render (and its exact
+    # RNG stream) that the pipeline-mechanics tests were tuned on.
+    # Round-2's weaker Lambert-shaded flat boxes (a ~2-DOF appearance cue
+    # for a 3-DOF rotation) plateaued rotation learning at ~50 deg; this
+    # renderer exists to make the quaternion pathway demonstrably learnable.
     render_pose_cues: bool = False
 
 
@@ -51,8 +58,164 @@ def _quat_random(rng) -> np.ndarray:
     return q / np.linalg.norm(q)
 
 
+def _raycast_box(R, T_m, half, intr, h, w):
+    """Ray-cast one oriented box; returns (hit [H,W] bool, rgb [H,W,3],
+    depth_m [H,W]).
+
+    Camera at the origin looking +z; pixel rays d = inv(K) @ [px, py, 1]
+    (z-component 1, so the slab-entry parameter IS camera depth in meters).
+    Rays move to object space with p_obj = R @ (p_cam - T) — the same
+    camera->object convention as the scene RT below. Surface color is the
+    normalized object coordinate p_obj/(2*half) + 0.5, i.e. a NOCS
+    coordinate map.
+    """
+    # Projected-corner bbox bounds the region to cast (cheap numpy).
+    corners = np.array(
+        [[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)],
+        np.float64,
+    ) * half
+    cam = corners @ R + T_m  # R^T @ c + T, rowwise
+    if np.any(cam[:, 2] <= 1e-6):
+        return None  # box touches/behind the camera plane
+    px = intr[0, 0] * cam[:, 0] / cam[:, 2] + intr[0, 2]
+    py = intr[1, 1] * cam[:, 1] / cam[:, 2] + intr[1, 2]
+    x0, x1 = int(np.floor(px.min())), int(np.ceil(px.max())) + 1
+    y0, y1 = int(np.floor(py.min())), int(np.ceil(py.max())) + 1
+    if x0 < 0 or y0 < 0 or x1 > w or y1 > h:
+        return None  # keep instances fully in frame (GT stays exact)
+
+    ys, xs = np.mgrid[y0:y1, x0:x1].astype(np.float64)
+    inv_intr = np.linalg.inv(intr)
+    d_cam = np.stack([xs, ys, np.ones_like(xs)], -1) @ inv_intr.T
+    d = d_cam @ R.T  # R @ d_cam, rowwise
+    o = -R @ T_m  # ray origin in object space
+
+    eps = 1e-12
+    d_safe = np.where(np.abs(d) < eps, eps, d)
+    t1 = (-half - o) / d_safe
+    t2 = (half - o) / d_safe
+    # Parallel rays hit the slab iff the origin lies inside it.
+    inside = (np.abs(o) <= half) | (np.abs(d) >= eps)
+    tmin = np.where(np.abs(d) < eps, -np.inf, np.minimum(t1, t2)).max(-1)
+    tmax = np.where(np.abs(d) < eps, np.inf, np.maximum(t1, t2)).min(-1)
+    hit_r = (tmax >= tmin) & (tmin > 0) & inside.all(-1)
+
+    p_obj = o + tmin[..., None] * d
+    rgb_r = np.clip(p_obj / (2 * half) + 0.5, 0.0, 1.0)
+
+    hit = np.zeros((h, w), bool)
+    rgb = np.zeros((h, w, 3), np.float32)
+    depth = np.zeros((h, w), np.float32)
+    hit[y0:y1, x0:x1] = hit_r
+    rgb[y0:y1, x0:x1] = np.where(hit_r[..., None], rgb_r, 0.0)
+    depth[y0:y1, x0:x1] = np.where(hit_r, tmin, 0.0).astype(np.float32)
+    return hit, rgb, depth
+
+
+def _generate_scene_raycast(
+    rng: np.random.Generator, cfg: SceneConfig
+) -> Dict[str, np.ndarray]:
+    """Pose-cue scene: ray-cast NOCS-colored cuboids (see SceneConfig)."""
+    import scipy.spatial.transform as _sst
+
+    h, w = cfg.height, cfg.width
+    intr = constants.INTRINSICS[cfg.dataset].copy()
+    intr[0] *= w / constants.IMAGE_WIDTH
+    intr[1] *= h / constants.IMAGE_HEIGHT
+    inv_intr = np.linalg.inv(intr)
+
+    g = cfg.max_instances
+    mask = np.zeros((h, w), np.int32)
+    inst_masks = np.zeros((g, h, w), np.float32)
+    class_ids = np.zeros((g,), np.int32)
+    sym_ids = np.zeros((g,), np.int32)
+    quats = np.zeros((g, 4), np.float32)
+    scales = np.zeros((g, 3), np.float32)
+    xys = np.zeros((g, 2), np.float32)
+    zs = np.zeros((g,), np.float32)
+    valid = np.zeros((g,), bool)
+    R_all = np.zeros((g, 3, 3), np.float32)
+    T_all = np.zeros((g, 3), np.float32)
+    RT_all = np.zeros((g, 4, 4), np.float32)
+
+    sym_class_set = set(
+        constants.dataset_spec(cfg.dataset).symmetric_class_ids()
+    )
+    z_near, z_far = cfg.z_range
+
+    image = rng.normal(0.0, 0.03, size=(h, w, 3)).astype(np.float32) + 0.08
+    occupied = np.zeros((h, w), bool)
+    n_inst = int(rng.integers(cfg.min_instances, cfg.max_scene_instances + 1))
+    placed = 0
+    for _ in range(n_inst * 6):
+        if placed >= n_inst:
+            break
+        inst_scales = rng.uniform(*cfg.scale_range, 3)
+        inst_z = float(rng.uniform(z_near, z_far))
+        cx = float(rng.uniform(0.15 * w, 0.85 * w))
+        cy = float(rng.uniform(0.15 * h, 0.85 * h))
+        q = _quat_random(rng)  # xyzw
+        R = _sst.Rotation.from_quat(q).as_matrix()
+        z_m = inst_z / 1000.0
+        T_m = inv_intr @ np.asarray([cx * z_m, cy * z_m, z_m])
+        cast = _raycast_box(R, T_m, inst_scales / 2.0, intr, h, w)
+        if cast is None:
+            continue
+        hit, rgb, depth = cast
+        if hit.sum() < 12 or (hit & occupied).any():
+            continue
+        occupied |= hit
+        cls = int(rng.integers(1, cfg.num_classes))
+        k = placed
+        # Depth-dependent brightness ramp: disambiguates the scale<->z
+        # projective degeneracy (a bigger box farther away would otherwise
+        # render identically).
+        shade = 0.35 + 0.65 * np.clip(
+            (z_far / 1000.0 - depth) / ((z_far - z_near) / 1000.0), 0.0, 1.0
+        )
+        image[hit] = (rgb * shade[..., None])[hit]
+        mask[hit] = cls
+        inst_masks[k][hit] = 1.0
+        class_ids[k] = cls
+        sym_ids[k] = 1 if cls in sym_class_set else 0
+        quats[k] = q
+        scales[k] = inst_scales
+        xys[k] = (cx, cy)
+        zs[k] = inst_z
+        R_all[k] = R
+        T_all[k] = T_m
+        RT_all[k, :3, :3] = R
+        RT_all[k, :3, 3] = -R @ T_m
+        RT_all[k, 3, 3] = 1.0
+        valid[k] = True
+        placed += 1
+
+    return {
+        "image": image,
+        "mask": mask,
+        "intrinsics": intr,
+        "agg": {
+            "class_ids": class_ids,
+            "symmetric_ids": sym_ids,
+            "instance_masks": inst_masks,
+            "quaternion": quats,
+            "scales": scales,
+            "xy": xys,
+            "z": zs,
+            "T": T_all,
+            "R": R_all,
+            "RT": RT_all,
+            "valid": valid,
+        },
+    }
+
+
 def generate_scene(rng: np.random.Generator, cfg: SceneConfig) -> Dict[str, np.ndarray]:
     """Generate one scene. Returns dense GT + padded instance GT."""
+    if cfg.render_pose_cues:
+        # Dedicated path (own RNG stream; the legacy flat path below keeps
+        # its exact stream so seed-keyed goldens stay stable).
+        return _generate_scene_raycast(rng, cfg)
     h, w = cfg.height, cfg.width
     intr = constants.INTRINSICS[cfg.dataset].copy()
     # Rescale intrinsics from the native 640x480 to the scene size.
@@ -83,18 +246,9 @@ def generate_scene(rng: np.random.Generator, cfg: SceneConfig) -> Dict[str, np.n
             break
         inst_scales = rng.uniform(*cfg.scale_range, 3)
         inst_z = float(rng.uniform(*cfg.z_range))
-        if cfg.render_pose_cues:
-            # pixel half-extent = projected physical half-extent (m -> px):
-            # scales are edge lengths in meters, z in mm.
-            half_w = int(np.clip(inst_scales[0] / 2 * fx / (inst_z / 1000),
-                                 3, w // 3))
-            half_h = int(np.clip(inst_scales[1] / 2 * fy / (inst_z / 1000),
-                                 3, h // 3))
-            hw_half = np.asarray([half_h, half_w])
-        else:
-            hw_half = rng.integers(
-                cfg.box_half_extent[0], cfg.box_half_extent[1], 2
-            )
+        hw_half = rng.integers(
+            cfg.box_half_extent[0], cfg.box_half_extent[1], 2
+        )
         if hw_half[0] + 2 >= h // 2 or hw_half[1] + 2 >= w // 2:
             continue
         cy = int(rng.integers(hw_half[0] + 1, h - hw_half[0] - 1))

@@ -37,20 +37,36 @@ def _masked_mean(x: Array, mask: Array) -> LossOut:
 # Pixel-wise mask losses (FPC/lib/loss.py:26-98)
 
 
-def cross_entropy(mask_logits: Array, gt_mask: Array) -> Array:
+def cross_entropy(
+    mask_logits: Array, gt_mask: Array, sample_weight: Array | None = None
+) -> Array:
     """Mean CE from logits. FPC `CE` and `CCE` are mathematically identical
     (CrossEntropyLoss == LogSoftmax+NLLLoss); both map here.
 
     One-hot multiply-sum instead of take_along_axis: the gather's backward
     is a per-pixel scatter-add, which lowers to a sort over H*W on TPU.
+
+    `sample_weight` [B] (0 for padded samples of a short final batch)
+    makes the mean a weighted per-sample mean, so zero-image padding
+    contributes nothing (the reference never pads — its last batch is
+    simply short, FPC/tools/dataset.py:626-653).
     """
     logp = jax.nn.log_softmax(mask_logits, axis=-1)
     onehot = jax.nn.one_hot(gt_mask, mask_logits.shape[-1], dtype=logp.dtype)
-    return -jnp.mean(jnp.sum(logp * onehot, axis=-1))
+    ce = -jnp.sum(logp * onehot, axis=-1)  # [B, H, W]
+    if sample_weight is None:
+        return jnp.mean(ce)
+    w = sample_weight.astype(ce.dtype)
+    per_sample = jnp.mean(ce, axis=tuple(range(1, ce.ndim)))  # [B]
+    return jnp.sum(per_sample * w) / jnp.maximum(jnp.sum(w), 1.0)
 
 
 def focal_loss(
-    mask_logits: Array, gt_mask: Array, alpha: float = 0.5, gamma: float = 2.0
+    mask_logits: Array,
+    gt_mask: Array,
+    alpha: float = 0.5,
+    gamma: float = 2.0,
+    sample_weight: Array | None = None,
 ) -> Array:
     """Focal loss replicating the reference's exact composition.
 
@@ -72,8 +88,18 @@ def focal_loss(
     pt = jnp.exp(logpt)
     alpha_t = alpha * onehot + (1 - alpha) * (1 - onehot)
     per_class = alpha_t * (1 - pt) ** gamma * (-logpt)
-    # mean over pixels per class, summed over classes
-    return jnp.sum(jnp.mean(per_class, axis=tuple(range(per_class.ndim - 1))))
+    # mean over pixels per class, summed over classes; with sample
+    # weights, a weighted mean over samples of per-sample pixel means
+    # (identical when all weights are 1)
+    pixel_axes = tuple(range(1, per_class.ndim - 1))
+    per_sample = jnp.mean(per_class, axis=pixel_axes)  # [B, C]
+    if sample_weight is None:
+        return jnp.sum(jnp.mean(per_sample, axis=0))
+    w = sample_weight.astype(per_sample.dtype)
+    weighted = jnp.sum(per_sample * w[:, None], axis=0) / jnp.maximum(
+        jnp.sum(w), 1.0
+    )
+    return jnp.sum(weighted)
 
 
 def masked_mse(

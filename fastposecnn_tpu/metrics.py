@@ -19,6 +19,7 @@ from typing import Dict
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from fastposecnn_tpu import geometry
 
@@ -113,13 +114,27 @@ def update_offset_error_mean(state: State, matched: Dict[str, Array]) -> State:
 # Pixel-wise mask metrics (FPC train.py:193-197 uses pl dice/iou/f1)
 
 
-def mask_scores(pred_mask: Array, gt_mask: Array, num_classes: int) -> Dict[str, Array]:
-    """Micro-averaged dice / IoU / F1 over foreground classes."""
+def mask_scores(
+    pred_mask: Array,
+    gt_mask: Array,
+    num_classes: int,
+    sample_valid: Array | None = None,
+) -> Dict[str, Array]:
+    """Micro-averaged dice / IoU / F1 over foreground classes.
+
+    `sample_valid` [B] excludes padded samples of a short final batch
+    (zero image + background mask would otherwise inflate accuracy and
+    deflate nothing — the padding is trivially 'correct')."""
     scores = {}
+    if sample_valid is None:
+        sv = jnp.ones(pred_mask.shape[:1], bool)
+    else:
+        sv = sample_valid.astype(bool)
+    svp = sv.reshape(sv.shape + (1,) * (pred_mask.ndim - 1))
     tp = fp = fn = 0.0
     for c in range(1, num_classes):
-        p = pred_mask == c
-        g = gt_mask == c
+        p = (pred_mask == c) & svp
+        g = (gt_mask == c) & svp
         tp = tp + jnp.sum(p & g)
         fp = fp + jnp.sum(p & ~g)
         fn = fn + jnp.sum(~p & g)
@@ -128,7 +143,9 @@ def mask_scores(pred_mask: Array, gt_mask: Array, num_classes: int) -> Dict[str,
     scores["dice"] = dice
     scores["iou"] = iou
     scores["f1"] = dice  # micro-F1 == dice
-    scores["accuracy"] = jnp.mean((pred_mask == gt_mask).astype(jnp.float32))
+    correct = jnp.sum(((pred_mask == gt_mask) & svp).astype(jnp.float32))
+    denom = jnp.sum(sv) * np.prod(pred_mask.shape[1:])
+    scores["accuracy"] = correct / jnp.maximum(denom, 1.0)
     return scores
 
 

@@ -229,14 +229,18 @@ def extract_instances(
 
     Instance slots are ordered by component root (row-major first pixel),
     matching scipy.ndimage.label's 1..n ordering. If an image has more than
-    `max_instances` components, the first `max_instances` in scan order are
-    kept (the reference keeps all — FPC/lib/aggregation_layer.py:101-108;
-    the static cap is configurable and NOCS scenes have <= ~10 instances).
+    `max_instances` components, the `max_instances` LARGEST by pixel area
+    are kept (the reference keeps all — FPC/lib/aggregation_layer.py:
+    101-108). Area ranking (not first-N scan order) matters for noisy
+    early-training masks: a scatter of small blobs above the real objects
+    in scan order must not evict them and starve the pose losses. With
+    <= max_instances components the output is identical to keep-all.
 
-    Implementation note (TPU): roots are selected with a monotone
-    masked-min recurrence (root_{k+1} = min root index > root_k) — K full
-    reduces — instead of a scatter-add histogram + top_k, whose sort-based
-    lowering measured ~10 ms at 480p.
+    Implementation note (TPU): per-root areas come from one segment_sum
+    histogram (~0.04 ms at 480p on-chip); selection is a monotone
+    masked-max recurrence (K full reduces, max area then min root index as
+    tie-break) instead of top_k, whose sort-based lowering over H*W
+    measured ~10 ms at 480p.
     """
     b, h, w = labels.shape
     hw = h * w
@@ -245,15 +249,25 @@ def extract_instances(
         flat = lbl.reshape(-1)
         lin = jnp.arange(hw, dtype=jnp.int32)
         is_root = flat == lin  # bg is -1, never equal
-        root_or_big = jnp.where(is_root, lin, _BIG)
+        fg = flat >= 0
+        areas = jax.ops.segment_sum(
+            fg.astype(jnp.float32), jnp.where(fg, flat, 0), num_segments=hw
+        )
+        score = jnp.where(is_root, areas, -1.0)  # area at roots, else -1
 
-        def next_root(last, _):
-            nxt = jnp.min(jnp.where(root_or_big > last, root_or_big, _BIG))
-            return nxt, nxt
+        def pick_largest(taken, _):
+            avail = jnp.where(taken, -1.0, score)
+            best = jnp.max(avail)
+            cand = jnp.where((avail == best) & (best > 0.0), lin, _BIG)
+            root = jnp.min(cand)  # deterministic tie-break: smallest root
+            return taken | (lin == root), root
 
         _, roots = lax.scan(
-            next_root, jnp.int32(-1), None, length=max_instances
+            pick_largest, jnp.zeros((hw,), bool), None, length=max_instances
         )
+        # Re-sort ascending by root index (invalid _BIG slots sink to the
+        # end) so slot ordering stays scipy-compatible row-major.
+        roots = jnp.sort(roots)
         valid = roots != _BIG
         masks = (flat[None, :] == roots[:, None]) & valid[:, None]
         return masks.reshape(max_instances, h, w).astype(jnp.float32), valid, roots

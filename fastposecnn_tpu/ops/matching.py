@@ -127,9 +127,18 @@ def gather_matched(
         # (instance slots), and the matmul's BACKWARD is also a matmul,
         # whereas take_along_axis's backward is a scatter-add that XLA
         # lowers to serialized while-loops (~1.5 ms of the stage-2 train
-        # step at batch 2 before this change).
+        # step at batch 2 before this change). Precision HIGHEST: the
+        # default matmul precision permits bf16 operand truncation on TPU,
+        # which would silently round the gathered f32 pose values
+        # (xy centers up to ~640 px have a bf16 ulp of ~4 px; z in mm has
+        # ~8 mm ulp at 1 m). N and G are ~16 so exactness is free.
         onehot = jax.nn.one_hot(index, field.shape[1], dtype=field.dtype)
-        return jnp.einsum("bgn,bn...->bg...", onehot, field)
+        return jnp.einsum(
+            "bgn,bn...->bg...",
+            onehot,
+            field,
+            precision=jax.lax.Precision.HIGHEST,
+        )
 
     for key in keys:
         if key in gts:

@@ -56,6 +56,7 @@ def _to_device_batch(batch, mesh):
         "image": jnp.asarray(batch["image"]),
         "mask": jnp.asarray(batch["mask"]),
         "agg": {k: jnp.asarray(v) for k, v in batch["agg"].items()},
+        "sample_valid": jnp.asarray(batch["sample_valid"]),
     }
     if mesh is not None:
         db = shard_batch(db, mesh)
@@ -63,10 +64,15 @@ def _to_device_batch(batch, mesh):
 
 
 def _pad_batch(batch, batch_size):
-    """Pad a short final batch up to the static batch size (mask GT slots
-    invalid so padded samples contribute nothing to matched losses)."""
+    """Pad a short final batch up to the static batch size, recording
+    per-sample validity so padding contributes nothing anywhere: matched
+    losses are masked by the (all-invalid) padded GT slots, and
+    `sample_valid` weights the pixel-wise mask losses/metrics (see
+    task._compute_losses)."""
     n = batch["image"].shape[0]
     if n == batch_size:
+        batch = dict(batch)
+        batch["sample_valid"] = np.ones((n,), np.float32)
         return batch, n
 
     def pad(x):
@@ -77,6 +83,10 @@ def _pad_batch(batch, batch_size):
         "image": pad(batch["image"]),
         "mask": pad(batch["mask"]),
         "agg": {k: pad(v) for k, v in batch["agg"].items()},
+        "sample_valid": np.concatenate(
+            [np.ones((n,), np.float32),
+             np.zeros((batch_size - n,), np.float32)]
+        ),
     }
     return out, n
 
@@ -264,11 +274,13 @@ def fit(
         # ---- validate ----
         bank = M.init_pose_metric_bank()
         val_logs_pending = []
+        val_weights = []
         viz_done = False
         for bi, batch in enumerate(valid_loader):
             if batch is None:
                 continue
-            batch, _ = _pad_batch(batch, hp.BATCH_SIZE)
+            batch, n_real = _pad_batch(batch, hp.BATCH_SIZE)
+            val_weights.append(n_real)
             db = _to_device_batch(batch, mesh)
             logs, bank, out = eval_step(state, db, jax.random.key(epoch), bank)
             val_logs_pending.append(logs)
@@ -294,7 +306,13 @@ def fit(
         }
         logger.log_metrics("valid", pose_vals, host_step, accumulate=False)
         logger.log_epoch_average("valid", epoch)
-        val_loss = float(np.mean(val_losses)) if val_losses else float("inf")
+        # Weighted by real-sample count so the short final batch counts
+        # its samples once, not its batch once.
+        val_loss = (
+            float(np.average(val_losses, weights=val_weights))
+            if val_losses
+            else float("inf")
+        )
 
         # ---- plateau LR (pose_regressor.py:417-438) ----
         plateau = optim.plateau_update(plateau, jnp.asarray(val_loss))

@@ -66,9 +66,15 @@ def _compute_losses(
     logs = {}
     total = jnp.zeros(())
 
+    # Per-sample validity: 0 for zero-padded samples of a short final
+    # batch. Matched losses are already protected by the GT instance
+    # validity masks; the pixel-wise mask task needs this weight or the
+    # padding biases it toward "everything is background on a black image".
+    sw = batch.get("sample_valid")
+
     # Mask task (pixel-wise), FPC/train.py:161-166.
-    ce = L.cross_entropy(out["logits"]["mask"], batch["mask"])
-    focal = L.focal_loss(out["logits"]["mask"], batch["mask"])
+    ce = L.cross_entropy(out["logits"]["mask"], batch["mask"], sample_weight=sw)
+    focal = L.focal_loss(out["logits"]["mask"], batch["mask"], sample_weight=sw)
     logs["mask/loss_ce"] = ce
     logs["mask/loss_cce"] = ce  # CCE == CE mathematically; logged separately
     logs["mask/loss_focal"] = focal
@@ -208,7 +214,8 @@ def make_eval_step(net, hp: HParams, pcfg: PipelineConfig, inv_intrinsics):
         total, logs, matched = _compute_losses(out, batch, hp, perform_matching)
         logs.update(
             {f"mask/{k}": v for k, v in M.mask_scores(
-                out["categorical"]["mask"], batch["mask"], num_classes
+                out["categorical"]["mask"], batch["mask"], num_classes,
+                sample_valid=batch.get("sample_valid"),
             ).items()}
         )
         if matched is not None:

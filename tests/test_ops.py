@@ -109,7 +109,7 @@ class TestConnectedComponents:
         assert np.asarray(valid[1]).sum() == 1
         np.testing.assert_array_equal(np.asarray(masks[1][0]), np.ones((8, 8)))
 
-    def test_cap_keeps_first_in_scan_order(self):
+    def test_cap_keeps_largest_by_area(self):
         fg = np.zeros((1, 8, 32), bool)
         fg[0, 0, 0:2] = True  # area 2 (first in scan order)
         fg[0, 2, 0:5] = True  # area 5
@@ -118,8 +118,27 @@ class TestConnectedComponents:
         masks, valid = extract_instances(labels, max_instances=2)
         areas = np.asarray(masks[0]).sum(axis=(1, 2))
         assert np.asarray(valid[0]).tolist() == [True, True]
-        # first-K in scan order (scipy label order), like scipy labels 1..K
-        assert areas.tolist() == [2.0, 5.0]
+        # keep-largest-2 under the cap, slot order still row-major scan
+        assert areas.tolist() == [5.0, 9.0]
+
+    def test_noise_blobs_do_not_evict_large_objects(self):
+        """Regression (VERDICT r2): 20 single-pixel noise blobs earlier in
+        scan order than 2 large objects must not evict the objects when
+        max_instances < total component count."""
+        fg = np.zeros((1, 64, 64), bool)
+        for i in range(20):  # isolated 1-px blobs in the top rows
+            fg[0, (2 * i) // 32 * 2, (2 * i) % 32 * 2] = True
+        fg[0, 40:52, 5:20] = True   # object A, area 180
+        fg[0, 40:56, 30:50] = True  # object B, area 320
+        labels = label_components(jnp.asarray(fg))
+        masks, valid = extract_instances(labels, max_instances=16)
+        masks, valid = np.asarray(masks[0]), np.asarray(valid[0])
+        assert valid.sum() == 16
+        areas = sorted(masks.sum(axis=(1, 2)).tolist(), reverse=True)
+        assert areas[0] == 320.0 and areas[1] == 180.0
+        # kept slots stay row-major ordered among themselves
+        first_px = [int(np.argmax(m.reshape(-1))) for m in masks]
+        assert first_px == sorted(first_px)
 
 
 class TestAggregation:

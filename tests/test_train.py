@@ -158,6 +158,44 @@ class TestDataParallel:
         assert len(still) >= len(sharded)
 
 
+class TestPaddedBatch:
+    def test_padded_batch_matches_unpadded(self, rng):
+        """A short batch padded to the static batch size must produce the
+        SAME losses and mask metrics as the unpadded batch (regression:
+        zero-image/background-mask padding used to leak into the pixel-wise
+        CE/focal losses and dice/iou/accuracy)."""
+        from fastposecnn_tpu.train.loop import _pad_batch
+
+        hp, net, pcfg, scfg, inv_K = tiny_setup(hp=C.head_training())
+        opt = optim.make_optimizer(hp)
+        state = create_train_state(net, opt, jax.random.key(0), hp)
+        estep = jax.jit(make_eval_step(net, hp, pcfg, inv_K))
+
+        batch2 = make_batch(rng, scfg, 2)
+        ref, _ = _pad_batch(batch2, 2)  # adds sample_valid=ones
+        padded, n_real = _pad_batch(batch2, 4)
+        assert n_real == 2
+        assert padded["image"].shape[0] == 4
+        np.testing.assert_array_equal(
+            padded["sample_valid"], [1.0, 1.0, 0.0, 0.0]
+        )
+
+        logs_ref, _, _ = estep(
+            state, ref, jax.random.key(7), M.init_pose_metric_bank()
+        )
+        logs_pad, _, _ = estep(
+            state, padded, jax.random.key(7), M.init_pose_metric_bank()
+        )
+        for key in (
+            "mask/loss_ce", "mask/loss_focal", "pose/total_loss",
+            "mask/dice", "mask/iou", "mask/accuracy",
+        ):
+            np.testing.assert_allclose(
+                float(logs_pad[key]), float(logs_ref[key]), rtol=1e-5,
+                err_msg=key,
+            )
+
+
 class TestOptim:
     def test_plateau(self):
         st = optim.plateau_init()
