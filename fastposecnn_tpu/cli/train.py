@@ -52,6 +52,15 @@ def main(argv=None):
     parser.add_argument("--resume", default=None)
     parser.add_argument("--no_augment", action="store_true",
                         help="disable the per-split augmentation pipelines")
+    parser.add_argument("--stage_on_device", action="store_true",
+                        help="device-resident trainer: stage the whole "
+                             "dataset in HBM and run each epoch as one "
+                             "jitted scan (train/staged.py) — for datasets "
+                             "that fit in device memory; kills per-step "
+                             "host round trips on remote-attached chips")
+    parser.add_argument("--restage_every", type=int, default=0,
+                        help="with --stage_on_device: re-materialize the "
+                             "(augmented) training set every K epochs")
     C.add_cli_overrides(parser, C.HParams())
     args = parser.parse_args(argv)
 
@@ -112,11 +121,20 @@ def main(argv=None):
     )
 
     inv_K = np.linalg.inv(constants.INTRINSICS[hp.DATASET_NAME])
-    state, run_dir = fit(
-        hp, train_loader, valid_loader, inv_K,
-        enable_tb=not args.no_tb, num_epochs=args.epochs,
-        resume_from=args.resume,
-    )
+    if args.stage_on_device:
+        from fastposecnn_tpu.train.staged import fit_staged
+
+        state, run_dir = fit_staged(
+            hp, train_ds, valid_ds, inv_K,
+            enable_tb=not args.no_tb, num_epochs=args.epochs,
+            resume_from=args.resume, restage_every=args.restage_every,
+        )
+    else:
+        state, run_dir = fit(
+            hp, train_loader, valid_loader, inv_K,
+            enable_tb=not args.no_tb, num_epochs=args.epochs,
+            resume_from=args.resume,
+        )
     print(f"run dir: {run_dir}")
 
 

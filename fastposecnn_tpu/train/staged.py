@@ -1,0 +1,332 @@
+"""Device-resident epoch trainer: stage the dataset in HBM, scan an epoch.
+
+Why this exists: through a remote-attached TPU (this sandbox's axon
+tunnel) every `train_step(state, batch, ...)` dispatch pays a host->device
+round trip plus the batch upload (~3 s wall vs ~25 ms device compute —
+BASELINE.md round-2 training note). For datasets that fit in HBM (the
+synthetic NOCS sets used for the on-chip training demonstrations: 512
+scenes at 240x320 is ~350 MB in uint8 wire format) the whole epoch can be
+ONE jitted program: a `lax.scan` over shuffled index batches whose body is
+the ordinary train step, gathering each batch out of the staged arrays on
+device. Tunnel cost then amortizes to one dispatch + one log fetch per
+EPOCH instead of per step.
+
+This is not a sandbox hack; it is the standard TPU-native pattern for
+small/medium datasets (device-side data echoing): keep the data where the
+FLOPs are, ship only a permutation per epoch.
+
+Semantics vs train/loop.py::fit (the streaming trainer):
+  - identical train/eval step functions (train/task.py) — the scan body IS
+    the jitted step, so losses/metrics/grad-watchdog behave identically;
+  - per-step train logs are still recorded (fetched stacked once per
+    epoch, then written to TB with their true step indices);
+  - plateau LR, best/periodic/last checkpoints, epoch averages: same;
+  - augmentation is materialized at staging time; pass
+    `restage_every=K` to re-draw the augmentation pipelines every K
+    epochs (host re-stage + re-upload, still amortized over K epochs);
+  - the final short train batch is DROPPED (standard drop-last shuffle
+    semantics) while validation pads its last batch with sample_valid=0
+    slots so every real sample is counted exactly once;
+  - fault capture: non-finite-grad steps are detected from the fetched
+    logs and the offending batch is reconstructed from the host copy of
+    the staged arrays + the epoch permutation, then saved for
+    scripts/replay_fault.py like the streaming path.
+
+Parity: FPC/train.py:237-333 Trainer.fit semantics (epochs, val cadence,
+checkpoint_on val loss) — the reference has no equivalent of this data
+path (its DataLoader streams from disk every step).
+"""
+
+from __future__ import annotations
+
+import pathlib
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fastposecnn_tpu import metrics as M
+from fastposecnn_tpu.config import HParams, pipeline_config_from
+from fastposecnn_tpu.models import PoseRegressorNet
+from fastposecnn_tpu.train import checkpoint as ckpt
+from fastposecnn_tpu.train import optim
+from fastposecnn_tpu.train.task import (
+    create_train_state,
+    make_eval_step,
+    make_train_step,
+)
+from fastposecnn_tpu.train.loop import make_run_dir
+from fastposecnn_tpu.utils.tb import RunLogger
+
+
+def stage_dataset(ds) -> Optional[dict]:
+    """Materialize every sample of a NOCSDataset into stacked host arrays
+    (compact wire dtypes preserved: uint8 images/masks)."""
+    from fastposecnn_tpu.data.nocs import collate
+
+    samples = [ds[i] for i in range(len(ds))]
+    batch = collate(samples)
+    if batch is None:
+        return None
+    batch.pop("path", None)
+    return batch
+
+
+def _gather_batch(staged, idxs, sample_valid):
+    batch = {
+        "image": staged["image"][idxs],
+        "mask": staged["mask"][idxs],
+        "agg": {k: v[idxs] for k, v in staged["agg"].items()},
+        "sample_valid": sample_valid,
+    }
+    return batch
+
+
+def _val_index_plan(n: int, batch_size: int):
+    """Pad validation indices to a whole number of batches; padded slots
+    repeat index 0 with sample_valid=0 so they contribute nothing."""
+    nb = max(1, -(-n // batch_size))
+    idxs = np.zeros((nb * batch_size,), np.int32)
+    idxs[:n] = np.arange(n, dtype=np.int32)
+    valid = np.zeros((nb * batch_size,), np.float32)
+    valid[:n] = 1.0
+    return idxs.reshape(nb, batch_size), valid.reshape(nb, batch_size)
+
+
+def fit_staged(
+    hp: HParams,
+    train_ds,
+    valid_ds,
+    inv_intrinsics,
+    run_dir: Optional[pathlib.Path] = None,
+    enable_tb: bool = True,
+    num_epochs: Optional[int] = None,
+    resume_from: Optional[str] = None,
+    restage_every: int = 0,
+    log_cb=None,
+):
+    """Device-resident counterpart of train/loop.py::fit. Returns
+    (final_state, run_dir)."""
+    run_dir = run_dir or make_run_dir(hp)
+    hp.save(run_dir / "HPARAM.json")
+    logger = RunLogger(run_dir, enabled=enable_tb)
+
+    import logging
+
+    flog = logging.getLogger("fastposecnn_tpu")
+    flog.setLevel(logging.INFO)
+    fh = logging.FileHandler(run_dir / "run.log")
+    fh.setFormatter(logging.Formatter("%(asctime)s %(levelname)s %(message)s"))
+    flog.addHandler(fh)
+    flog.info("hparams: %s", hp.to_json().replace("\n", " "))
+    flog.info("staged (device-resident) trainer")
+
+    net = PoseRegressorNet(
+        num_classes=hp.num_classes,
+        encoder_name=hp.ENCODER,
+        dtype=jnp.bfloat16
+        if (hp.COMPUTE_DTYPE == "bfloat16" and jax.default_backend() == "tpu")
+        else jnp.float32,
+    )
+    pcfg = pipeline_config_from(hp)
+    optimizer = optim.make_optimizer(hp)
+    state = create_train_state(net, optimizer, jax.random.key(0), hp)
+    if resume_from:
+        state, hp = ckpt.load_checkpoint(resume_from, state, hp)
+
+    train_step = make_train_step(net, optimizer, hp, pcfg, inv_intrinsics)
+    eval_step = make_eval_step(net, hp, pcfg, inv_intrinsics)
+    batch_size = hp.BATCH_SIZE
+    full_valid = jnp.ones((batch_size,), jnp.float32)
+
+    def train_epoch(state, staged, perm, rng):
+        """perm: [nb, B] int32. Returns (state, stacked per-step logs)."""
+
+        def body(st, idxs):
+            st2, logs = train_step(
+                st, _gather_batch(staged, idxs, full_valid), rng
+            )
+            # Carry-dtype guard: under jax_enable_x64 stray f64 promotion
+            # anywhere in the step would change the carry type and abort
+            # the scan; pin the output to the input dtypes (no-op in the
+            # normal f32/bf16 configuration).
+            st2 = jax.tree.map(lambda a, b: a.astype(b.dtype), st2, st)
+            return st2, logs
+
+        return jax.lax.scan(body, state, perm)
+
+    def valid_epoch(state, staged, idx_plan, valid_plan, bank, rng):
+        """Returns (bank, stacked logs). The dense pipeline outputs are
+        dropped inside the scan body, so XLA never materializes them
+        per-batch."""
+
+        def body(bank, inp):
+            idxs, sv = inp
+            logs, bank, _ = eval_step(
+                state, _gather_batch(staged, idxs, sv), rng, bank
+            )
+            return bank, logs
+
+        return jax.lax.scan(body, bank, (idx_plan, valid_plan))
+
+    # No buffer donation: a freshly-initialized TrainState can alias
+    # identical zero-filled buffers across leaves (step/skipped_updates/
+    # zero moments), which XLA rejects as double-donation.
+    train_epoch_j = jax.jit(train_epoch)
+    valid_epoch_j = jax.jit(valid_epoch)
+
+    # ---- stage the data ----
+    def stage(split_epoch):
+        train_ds.epoch = split_epoch  # advances augmentation draws
+        host_train = stage_dataset(train_ds)
+        if host_train is None:
+            raise SystemExit("staged trainer: empty training dataset")
+        return host_train, jax.device_put(host_train)
+
+    t0 = time.perf_counter()
+    host_train, dev_train = stage(0)
+    host_valid = stage_dataset(valid_ds)
+    dev_valid = jax.device_put(host_valid) if host_valid else None
+    n_train = host_train["image"].shape[0]
+    n_valid = host_valid["image"].shape[0] if host_valid else 0
+    nbytes = sum(
+        x.nbytes for x in jax.tree.leaves((host_train, host_valid or {}))
+    )
+    flog.info(
+        "staged %d train + %d valid samples (%.1f MB wire) in %.1f s",
+        n_train, n_valid, nbytes / 1e6, time.perf_counter() - t0,
+    )
+    if n_train < batch_size:
+        raise SystemExit(
+            f"staged trainer: TRAIN_SIZE ({n_train}) < BATCH_SIZE "
+            f"({batch_size}) — nothing to scan after drop-last"
+        )
+
+    val_idx, val_valid = (
+        _val_index_plan(n_valid, batch_size) if n_valid else (None, None)
+    )
+    nb_train = n_train // batch_size
+
+    plateau = optim.plateau_init()
+    best_val = float("inf")
+    rng = jax.random.key(42)
+    ckpt_dir = run_dir / "checkpoints"
+    shuffle_rng = np.random.default_rng(42)
+
+    for epoch in range(num_epochs or hp.NUM_EPOCHS):
+        if restage_every and epoch and epoch % restage_every == 0:
+            host_train, dev_train = stage(epoch)
+
+        epoch_t0 = time.perf_counter()
+        host_step0 = int(jax.device_get(state.step))
+        perm = shuffle_rng.permutation(n_train)[: nb_train * batch_size]
+        perm = perm.astype(np.int32).reshape(nb_train, batch_size)
+        rng, sub = jax.random.split(rng)
+        state, step_logs = train_epoch_j(state, dev_train, perm, sub)
+
+        bank = M.init_pose_metric_bank()
+        if n_valid:
+            rng_eval = jax.random.key(epoch)
+            bank, val_logs_st = valid_epoch_j(
+                state, dev_valid, val_idx, val_valid, bank, rng_eval
+            )
+
+        # One fetch for the whole epoch's logs (train + valid + bank).
+        fetched = jax.device_get(
+            (step_logs, val_logs_st if n_valid else {}, bank)
+        )
+        step_logs_h, val_logs_h, bank_h = fetched
+        dt = time.perf_counter() - epoch_t0
+
+        # Per-step TB entries with true step indices, like the streaming
+        # path (buffered there, batch-written here).
+        for i in range(nb_train):
+            logger.log_metrics(
+                "train",
+                {k: float(v[i]) for k, v in step_logs_h.items()},
+                host_step0 + i + 1,
+            )
+            if step_logs_h.get("grad/finite", np.ones(nb_train))[i] < 1.0:
+                path = run_dir / f"fault_batch_step{host_step0 + i + 1}.npz"
+                fault = {
+                    "image": host_train["image"][perm[i]],
+                    "mask": host_train["mask"][perm[i]],
+                    **{
+                        f"agg_{k}": v[perm[i]]
+                        for k, v in host_train["agg"].items()
+                    },
+                }
+                np.savez_compressed(path, **fault)
+                flog.warning(
+                    "non-finite gradients at step %d; batch saved to %s",
+                    host_step0 + i + 1, path,
+                )
+        host_step = host_step0 + nb_train
+        logger.log_metrics(
+            "train",
+            {
+                "throughput/images_per_s": nb_train * batch_size / max(dt, 1e-9),
+                "optim/lr_scale": float(plateau.scale),
+            },
+            host_step,
+            accumulate=False,
+        )
+        logger.log_epoch_average("train", epoch)
+
+        pose_vals = {}
+        if n_valid:
+            nbv = val_idx.shape[0]
+            for i in range(nbv):
+                logger.log_metrics(
+                    "valid",
+                    {k: float(v[i]) for k, v in val_logs_h.items()},
+                    host_step,
+                )
+            pose_vals = {
+                f"pose/{k}": float(v)
+                for k, v in M.compute_pose_metric_bank(bank_h).items()
+            }
+            logger.log_metrics("valid", pose_vals, host_step, accumulate=False)
+            logger.log_epoch_average("valid", epoch)
+            # Per-batch losses weighted by that batch's real-sample count.
+            w = val_valid.sum(axis=1)
+            val_loss = float(
+                np.average(val_logs_h["pose/total_loss"], weights=w)
+            )
+        else:
+            val_loss = float(np.mean(step_logs_h["pose/total_loss"]))
+
+        plateau = optim.plateau_update(plateau, jnp.asarray(val_loss))
+        state = state._replace(
+            opt_state=optim.set_lr_scale(state.opt_state, plateau.scale)
+        )
+
+        if val_loss < best_val:
+            best_val = val_loss
+            ckpt.save_checkpoint(ckpt_dir / "best", int(state.step), state, hp)
+        if (epoch + 1) % hp.CKPT_SAVE_FREQUENCY == 0:
+            ckpt.save_checkpoint(
+                ckpt_dir / "periodic", int(state.step), state, hp
+            )
+        msg = (
+            f"epoch {epoch}: val_loss={val_loss:.4f} "
+            f"lr_scale={float(plateau.scale):.4f} "
+            f"skipped={int(jax.device_get(state.skipped_updates))} "
+            f"epoch_s={dt:.1f} "
+            + " ".join(
+                f"{k.split('/')[-1]}={v:.2f}" for k, v in pose_vals.items()
+            )
+        )
+        print(msg, flush=True)
+        flog.info(msg)
+        if log_cb is not None:
+            log_cb(epoch, val_loss, pose_vals)
+
+    ckpt.save_checkpoint(ckpt_dir / "last", int(state.step), state, hp)
+    import dataclasses
+
+    logger.log_hparams(dataclasses.asdict(hp), {"best_val_loss": best_val})
+    logger.close()
+    return state, run_dir

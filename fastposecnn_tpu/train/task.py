@@ -64,7 +64,10 @@ def _compute_losses(
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray], Optional[Dict[str, Any]]]:
     """Weighted multi-task loss. Returns (total, logs, matched_payload)."""
     logs = {}
-    total = jnp.zeros(())
+    # Explicit f32: under jax_enable_x64 (golden tests) a default-dtype
+    # zeros(()) is f64, which promotes the loss -> grads -> optimizer
+    # moments and breaks the staged trainer's scan-carry dtype invariant.
+    total = jnp.zeros((), jnp.float32)
 
     # Per-sample validity: 0 for zero-padded samples of a short final
     # batch. Matched losses are already protected by the GT instance

@@ -1,0 +1,68 @@
+"""Device-resident staged trainer (train/staged.py)."""
+
+import numpy as np
+import pytest
+
+from fastposecnn_tpu.train.staged import _val_index_plan, stage_dataset
+
+
+class TestValIndexPlan:
+    def test_exact_multiple(self):
+        idx, valid = _val_index_plan(8, 4)
+        assert idx.shape == (2, 4) and valid.sum() == 8
+        np.testing.assert_array_equal(idx.reshape(-1), np.arange(8))
+
+    def test_padded_remainder(self):
+        idx, valid = _val_index_plan(5, 4)
+        assert idx.shape == (2, 4)
+        assert valid.reshape(-1).tolist() == [1, 1, 1, 1, 1, 0, 0, 0]
+        # padded slots repeat a real index (0) but carry zero weight
+        assert idx.reshape(-1)[5:].tolist() == [0, 0, 0]
+
+    def test_fewer_than_batch(self):
+        idx, valid = _val_index_plan(1, 4)
+        assert idx.shape == (1, 4) and valid.sum() == 1
+
+
+@pytest.mark.slow
+def test_staged_cli_end_to_end(tmp_path, monkeypatch):
+    """The staged trainer runs the full CLI path: stage -> scan-epoch ->
+    plateau -> checkpoints, with finite losses, and the checkpoint is
+    loadable."""
+    monkeypatch.setenv("LOGS", str(tmp_path / "logs"))
+    from fastposecnn_tpu.cli.train import main
+
+    main([
+        "-e", "STAGED", "--preset", "MASK_TRAINING", "--synthetic", "6",
+        "--IMAGE_HEIGHT", "64", "--IMAGE_WIDTH", "64", "--BATCH_SIZE", "2",
+        "--TRAIN_SIZE", "6", "--VALID_SIZE", "3", "--MAX_INSTANCES", "4",
+        "--MAX_VOTE_POINTS", "128", "--HV_NUM_OF_HYPOTHESES", "32",
+        "--epochs", "2", "--no_tb", "--stage_on_device",
+    ])
+    runs = list((tmp_path / "logs").rglob("run.log"))
+    assert len(runs) == 1
+    run_dir = runs[0].parent
+    log = runs[0].read_text()
+    assert "staged (device-resident) trainer" in log
+    assert "epoch 1: val_loss=" in log
+    assert not any("nan" in ln for ln in log.splitlines() if "val_loss" in ln)
+    for name in ("best", "last"):
+        assert (run_dir / "checkpoints" / name).exists()
+
+
+def test_stage_dataset_roundtrip(tmp_path):
+    """stage_dataset stacks every sample with wire dtypes preserved."""
+    from fastposecnn_tpu.data.nocs import NOCSDataset
+    from fastposecnn_tpu.data.nocs_writer import write_synthetic_nocs
+    from fastposecnn_tpu.data.synthetic import SceneConfig
+
+    scfg = SceneConfig(height=64, width=64, max_instances=4,
+                       render_pose_cues=True)
+    root = write_synthetic_nocs(tmp_path / "ds", 3, 0, scfg)
+    ds = NOCSDataset(root, dataset_name="CAMERA", max_instances=4)
+    staged = stage_dataset(ds)
+    assert staged["image"].shape == (3, 64, 64, 3)
+    assert staged["image"].dtype == np.uint8
+    assert staged["mask"].dtype == np.uint8
+    assert staged["agg"]["instance_masks"].dtype == np.uint8
+    assert "path" not in staged
