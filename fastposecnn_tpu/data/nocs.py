@@ -95,6 +95,7 @@ class NOCSDataset:
         use_native: Optional[bool] = None,  # None -> auto-detect
         augmentation: Optional[str] = None,  # None | 'train' | 'valid'
         aug_seed: int = 0,
+        aug_cfg=None,  # data.augment.AugmentConfig override
     ):
         self.dataset_dir = pathlib.Path(dataset_dir)
         self.dataset_name = dataset_name
@@ -124,6 +125,7 @@ class NOCSDataset:
             raise ValueError(f"unknown augmentation mode {augmentation!r}")
         self.augmentation = augmentation
         self.aug_seed = aug_seed
+        self.aug_cfg = aug_cfg
         self.epoch = 0
         self.images_fps = self._scan(self.dataset_dir, max_size)
 
@@ -147,27 +149,9 @@ class NOCSDataset:
             raw = raw[..., :3]
         else:
             raw = np.asarray(Image.open(fp).convert("RGB"))
-        if self.augmentation:
-            from fastposecnn_tpu.data import augment as A
-
-            # Reproducible per (seed, epoch, sample): differs across epochs,
-            # stable within one (thread-safe — no shared rng state).
-            aug_rng = np.random.default_rng(
-                (self.aug_seed, self.epoch, index)
-            )
-            img = raw.astype(np.float32) / 255.0
-            if self.augmentation == "train":
-                img = A.augment_pose_training(img, aug_rng)
-            else:
-                img = A.augment_validation(img, aug_rng)
-            if self.normalize:
-                # back to the uint8 wire; rint so requantization is
-                # unbiased (truncation would shift every channel ~0.5/255
-                # down), quantization error < 0.5/255 per channel
-                return np.clip(np.rint(img * 255.0), 0, 255).astype(
-                    np.uint8
-                )
-            return img
+        # Augmentation happens at SAMPLE level in __getitem__ (the train
+        # compose includes a geometric perspective warp that must move the
+        # masks/depth/GT centers with the image — data/augment.py).
         if self.normalize:
             return raw.astype(np.uint8)
         return raw.astype(np.float32) / 255.0
@@ -278,13 +262,42 @@ class NOCSDataset:
         if (agg["z"][agg["valid"]] <= 0).any():
             return None
 
-        return {
+        sample = {
             "path": str(fp),
             "image": image,
             "mask": class_mask.astype(np.uint8),
             "depth": depth.astype(np.float32),
             "agg": agg,
         }
+
+        if self.augmentation:
+            from fastposecnn_tpu.data import augment as A
+
+            # Reproducible per (seed, epoch, sample): differs across epochs,
+            # stable within one (thread-safe — no shared rng state).
+            aug_rng = np.random.default_rng((self.aug_seed, self.epoch, i))
+            if self.augmentation == "train":
+                # Full as-designed compose (perspective + photometric) with
+                # consistent GT warping; see data/augment.py's parity note.
+                sample = A.augment_sample(
+                    sample, aug_rng, self.aug_cfg, intrinsics=self.intrinsics
+                )
+            else:
+                img = sample["image"].astype(np.float32)
+                if img.max() > 1.5:
+                    img = img / 255.0
+                sample["image"] = A.augment_validation(
+                    img, aug_rng, self.aug_cfg
+                )
+            if self.normalize:
+                # back to the uint8 wire; rint so requantization is
+                # unbiased (truncation would shift every channel ~0.5/255
+                # down), quantization error < 0.5/255 per channel
+                sample["image"] = np.clip(
+                    np.rint(sample["image"] * 255.0), 0, 255
+                ).astype(np.uint8)
+
+        return sample
 
 
     def get_random_batched_sample(self, batch_size: int = 1, seed: int = 0):

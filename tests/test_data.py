@@ -81,11 +81,17 @@ class TestAugmentationWiring:
     and varies per epoch but is reproducible within one."""
 
     def test_train_augmentation_varies_by_epoch(self, tmp_path):
+        from fastposecnn_tpu.data.augment import AugmentConfig
+
         cfg = SceneConfig(height=60, width=80)
         write_synthetic_nocs(tmp_path, num_samples=2, scene_cfg=cfg)
         plain = CAMERADataset(tmp_path, max_instances=8, normalize=False)
-        aug = CAMERADataset(tmp_path, max_instances=8, normalize=False,
-                            augmentation="train")
+        # Perspective pinned off so this test isolates the photometric
+        # wiring (TestPerspective in test_augment.py covers geometry).
+        aug = CAMERADataset(
+            tmp_path, max_instances=8, normalize=False, augmentation="train",
+            aug_cfg=AugmentConfig(perspective_p=0.0),
+        )
         base = plain[0]["image"]
         aug.epoch = 0
         e0 = aug[0]["image"]
@@ -100,18 +106,46 @@ class TestAugmentationWiring:
             aug[0]["mask"], plain[0]["mask"]
         )
 
+    def test_train_perspective_warps_gt_with_image(self, tmp_path):
+        """With perspective forced on, the dense mask and instance masks
+        move together and stay mutually consistent."""
+        from fastposecnn_tpu.data.augment import AugmentConfig
+
+        cfg = SceneConfig(height=60, width=80)
+        write_synthetic_nocs(tmp_path, num_samples=2, scene_cfg=cfg)
+        plain = CAMERADataset(tmp_path, max_instances=8, normalize=False)
+        aug = CAMERADataset(
+            tmp_path, max_instances=8, normalize=False, augmentation="train",
+            aug_cfg=AugmentConfig(perspective_p=1.0),
+        )
+        p, a = plain[0], aug[0]
+        assert not np.array_equal(a["mask"], p["mask"])
+        # class mask == union of per-instance masks painted with class ids
+        rebuilt = np.zeros_like(a["mask"])
+        agg = a["agg"]
+        for k in range(int(agg["valid"].sum())):
+            rebuilt[agg["instance_masks"][k] > 0] = agg["class_ids"][k]
+        np.testing.assert_array_equal(rebuilt, a["mask"])
+
     def test_valid_mode_is_noise_only_and_loader_advances_epoch(
         self, tmp_path
     ):
+        from fastposecnn_tpu.data.augment import AugmentConfig
         from fastposecnn_tpu.data.loader import PrefetchLoader
 
         cfg = SceneConfig(height=60, width=80)
         write_synthetic_nocs(tmp_path, num_samples=2, scene_cfg=cfg)
-        ds = CAMERADataset(tmp_path, max_instances=8, normalize=False,
-                           augmentation="valid")
+        # noise_p=1 so every draw perturbs (the parity default 0.2 makes
+        # "did noise fire" seed-dependent; probability is covered by
+        # test_augment.py::test_validation_noise_probability)
+        ds = CAMERADataset(
+            tmp_path, max_instances=8, normalize=False, augmentation="valid",
+            aug_cfg=AugmentConfig(noise_p=1.0),
+        )
         plain = CAMERADataset(tmp_path, max_instances=8, normalize=False)
         delta = ds[0]["image"] - plain[0]["image"]
-        assert 0 < np.abs(delta).max() < 0.2   # small gaussian noise
+        assert 0 < np.abs(delta).max() < 0.4   # small gaussian noise
+        np.testing.assert_array_equal(ds[0]["mask"], plain[0]["mask"])
         loader = PrefetchLoader(ds, 2, shuffle=False, num_workers=1)
         first = [b["image"].copy() for b in loader if b is not None]
         second = [b["image"].copy() for b in loader if b is not None]
