@@ -1,22 +1,40 @@
 """Host-side batching + prefetch loader.
 
 Replaces torch DataLoader(NUM_WORKERS=...) (FPC/tools/dataset.py:626-653)
-with a thread-pool prefetcher: sample decode happens in worker threads (PIL
-releases the GIL for PNG decode), batches are collated and queued ahead of
-the step. An optional native C++ decode backend (native/fpcnn_native.so,
-data/native_loader.py) accelerates PNG decode when built.
+with a pooled prefetcher: sample decode happens in worker threads (PIL
+releases the GIL for PNG decode) or, with `backend="process"`, in forked
+worker processes — the numpy augmentation ops hold the GIL, so on
+multi-core hosts the process backend is what scales the augmented path
+(scripts/bench_loader.py measures both). Batches are collated and queued
+ahead of the step. An optional native C++ decode backend
+(native/fpcnn_native.so, data/native_loader.py) accelerates PNG decode
+when built.
 """
 
 from __future__ import annotations
 
 import queue
 import threading
-from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
 from typing import Iterator, Optional
 
 import numpy as np
 
 from fastposecnn_tpu.data.nocs import collate
+
+# Process-backend worker state: the dataset is shipped once per worker via
+# the pool initializer (fork start method shares it copy-on-write) instead
+# of being pickled into every map call.
+_WORKER_DS = None
+
+
+def _init_worker(ds):
+    global _WORKER_DS
+    _WORKER_DS = ds
+
+
+def _worker_get(i):
+    return _WORKER_DS[int(i)]
 
 
 class PrefetchLoader:
@@ -29,7 +47,10 @@ class PrefetchLoader:
         seed: int = 0,
         prefetch: int = 2,
         drop_last: bool = False,
+        backend: str = "thread",  # 'thread' | 'process'
     ):
+        if backend not in ("thread", "process"):
+            raise ValueError(f"unknown loader backend {backend!r}")
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -37,6 +58,7 @@ class PrefetchLoader:
         self.seed = seed
         self.prefetch = prefetch
         self.drop_last = drop_last
+        self.backend = backend
         self.epoch = 0
 
     def __len__(self):
@@ -64,9 +86,21 @@ class PrefetchLoader:
             self.dataset.epoch = self.epoch
 
         def producer():
-            with ThreadPoolExecutor(self.num_workers) as pool:
+            if self.backend == "process":
+                # Workers fork AFTER self.dataset.epoch was set above, so
+                # augmentation draws stay epoch-correct in the children.
+                pool = ProcessPoolExecutor(
+                    self.num_workers,
+                    initializer=_init_worker,
+                    initargs=(self.dataset,),
+                )
+                get = _worker_get
+            else:
+                pool = ThreadPoolExecutor(self.num_workers)
+                get = self.dataset.__getitem__
+            with pool:
                 for chunk in self._index_batches():
-                    samples = list(pool.map(self.dataset.__getitem__, chunk))
+                    samples = list(pool.map(get, chunk))
                     out_q.put(collate(samples))
             out_q.put(sentinel)
 
