@@ -22,6 +22,8 @@ from typing import Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
+from fastposecnn_tpu.ops.pooling import max_pool_3x3_s2
+
 
 @dataclasses.dataclass(frozen=True)
 class ResNetSpec:
@@ -128,6 +130,15 @@ class ResNetEncoder(nn.Module):
         # (4x4/s1 on 12 channels — mathematically identical, probed in git
         # history) measured 0.64 ms because the input rearrange lowers to
         # unfused lane-shuffle relayouts (reshape 0.34 + copies 0.26).
+        #
+        # The RGB wire is padded to C_in=4 with a zero alpha channel: the
+        # C_in=3 conv's WEIGHT gradient was the costliest op of the stage-2
+        # training step (1.24 ms — an unaligned 3-deep contraction), while
+        # the zero channel contributes nothing forward and receives zero
+        # gradient, so numerics are untouched (weights.py zero-pads
+        # imported torch kernels to match).
+        if x.shape[-1] == 3:
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, 1)))
         y = nn.Conv(64, (7, 7), strides=2, padding=3, use_bias=False,
                     dtype=self.dtype, name="conv1")(x)
         y = nn.BatchNorm(
@@ -137,7 +148,11 @@ class ResNetEncoder(nn.Module):
         y = nn.relu(y)
         features.append(y)  # 1/2
 
-        y = nn.max_pool(y, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        # Custom VJP pool: nn.max_pool's backward lowers to XLA
+        # SelectAndScatter (0.72 ms/step in the stage-2 profile);
+        # ops/pooling.py routes cotangents with elementwise selects +
+        # zero-dilated adds instead, same first-match tie rule.
+        y = max_pool_3x3_s2(y)
 
         widths = (64, 128, 256, 512)
         for stage, (num_blocks, width) in enumerate(

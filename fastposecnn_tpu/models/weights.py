@@ -45,7 +45,12 @@ def convert_torch_resnet(
     matching ResNetEncoder's module names."""
     sd = {k: v for k, v in state_dict.items()}
     spec = RESNET_SPECS[encoder_name]
-    params: Dict = {"conv1": {"kernel": _conv(sd["conv1.weight"])}}
+    # Stem kernels zero-pad C_in 3->4 to match the encoder's padded RGB
+    # wire (resnet.py stem note): zero weights x always-zero alpha channel
+    # keeps the forward bit-identical to torch.
+    conv1 = _conv(sd["conv1.weight"])
+    conv1 = np.pad(conv1, ((0, 0), (0, 0), (0, 1), (0, 0)))
+    params: Dict = {"conv1": {"kernel": conv1}}
     stats: Dict = {}
     params["bn1"], stats["bn1"] = _bn("bn1", sd)
 

@@ -49,6 +49,43 @@ def latest_step(directory) -> Optional[int]:
     return step
 
 
+def _is_stem_kernel(path, leaf) -> bool:
+    """The encoder stem conv kernel (7x7, in-dim 4 after the C_in pad)."""
+    shape = getattr(leaf, "shape", None)
+    if shape is None or len(shape) != 4 or shape[:2] != (7, 7):
+        return False
+    names = [str(getattr(p, "key", getattr(p, "name", ""))) for p in path]
+    return "conv1" in names and shape[2] == 4
+
+
+def _legacy_stem_abstract(abstract_state):
+    """Abstract tree for checkpoints written before the C_in=4 stem pad
+    (resnet.py stem note): stem kernels (and their optimizer moments) were
+    [7, 7, 3, 64]."""
+    import jax
+
+    def fix(path, leaf):
+        if _is_stem_kernel(path, leaf):
+            return jax.ShapeDtypeStruct(
+                leaf.shape[:2] + (3,) + leaf.shape[3:], leaf.dtype
+            )
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(fix, abstract_state)
+
+
+def _pad_legacy_stem(state, abstract_state):
+    import jax
+    import numpy as np
+
+    def fix(path, want, got):
+        if _is_stem_kernel(path, want) and got.shape[2] == 3:
+            return np.pad(np.asarray(got), ((0, 0), (0, 0), (0, 1), (0, 0)))
+        return got
+
+    return jax.tree_util.tree_map_with_path(fix, abstract_state, state)
+
+
 def load_checkpoint(
     directory, abstract_state: Any, hp: HParams, step: Optional[int] = None
 ) -> Tuple[Any, HParams]:
@@ -56,16 +93,33 @@ def load_checkpoint(
     structure/shapes (e.g. a freshly-initialized TrainState)."""
     mgr = _manager(directory)
     step = step if step is not None else mgr.latest_step()
-    restored = mgr.restore(
-        step,
-        args=ocp.args.Composite(
-            state=ocp.args.StandardRestore(abstract_state),
-            hparams=ocp.args.JsonRestore(),
-        ),
-    )
+    try:
+        restored = mgr.restore(
+            step,
+            args=ocp.args.Composite(
+                state=ocp.args.StandardRestore(abstract_state),
+                hparams=ocp.args.JsonRestore(),
+            ),
+        )
+        state = restored["state"]
+    except Exception:
+        # Pre-C_in-pad checkpoint: restore with 3-channel stem shapes and
+        # zero-pad the alpha slice (numerics identical — see resnet.py).
+        mgr.close()
+        mgr = _manager(directory)
+        restored = mgr.restore(
+            step,
+            args=ocp.args.Composite(
+                state=ocp.args.StandardRestore(
+                    _legacy_stem_abstract(abstract_state)
+                ),
+                hparams=ocp.args.JsonRestore(),
+            ),
+        )
+        state = _pad_legacy_stem(restored["state"], abstract_state)
     mgr.close()
     ckpt_hp = HParams.from_json(restored["hparams"])
-    return restored["state"], merge_from_checkpoint(hp, ckpt_hp)
+    return state, merge_from_checkpoint(hp, ckpt_hp)
 
 
 # -----------------------------------------------------------------------------

@@ -211,6 +211,8 @@ def fit_staged(
 
     plateau = optim.plateau_init()
     best_val = float("inf")
+    best_state = None
+    best_step = 0
     rng = jax.random.key(42)
     ckpt_dir = run_dir / "checkpoints"
     shuffle_rng = np.random.default_rng(42)
@@ -303,13 +305,24 @@ def fit_staged(
             opt_state=optim.set_lr_scale(state.opt_state, plateau.scale)
         )
 
+        # Checkpoints: a disk save device_gets the full TrainState, which
+        # through a remote-attached chip costs ~30 s — far more than the
+        # 0.4 s epoch itself. So the best state is kept as on-device
+        # references (states are immutable pytrees; no copy) and flushed to
+        # disk only on the periodic cadence and at the end.
         if val_loss < best_val:
             best_val = val_loss
-            ckpt.save_checkpoint(ckpt_dir / "best", int(state.step), state, hp)
+            best_state, best_step = state, int(jax.device_get(state.step))
         if (epoch + 1) % hp.CKPT_SAVE_FREQUENCY == 0:
             ckpt.save_checkpoint(
-                ckpt_dir / "periodic", int(state.step), state, hp
+                ckpt_dir / "periodic", int(jax.device_get(state.step)),
+                state, hp,
             )
+            if best_state is not None:
+                ckpt.save_checkpoint(
+                    ckpt_dir / "best", best_step, best_state, hp
+                )
+                best_state = None  # flushed
         msg = (
             f"epoch {epoch}: val_loss={val_loss:.4f} "
             f"lr_scale={float(plateau.scale):.4f} "
@@ -324,6 +337,8 @@ def fit_staged(
         if log_cb is not None:
             log_cb(epoch, val_loss, pose_vals)
 
+    if best_state is not None:
+        ckpt.save_checkpoint(ckpt_dir / "best", best_step, best_state, hp)
     ckpt.save_checkpoint(ckpt_dir / "last", int(state.step), state, hp)
     import dataclasses
 

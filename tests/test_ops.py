@@ -141,6 +141,44 @@ class TestConnectedComponents:
         assert first_px == sorted(first_px)
 
 
+class TestPooling:
+    """ops/pooling.py: scatter-free maxpool backward vs nn.max_pool."""
+
+    def _ref(self, x):
+        import flax.linen as nn
+
+        return nn.max_pool(x, (3, 3), strides=(2, 2),
+                           padding=((1, 1), (1, 1)))
+
+    def test_forward_matches(self, rng):
+        from fastposecnn_tpu.ops.pooling import max_pool_3x3_s2
+
+        x = jnp.asarray(rng.normal(size=(2, 16, 24, 8)).astype(np.float32))
+        np.testing.assert_array_equal(
+            np.asarray(max_pool_3x3_s2(x)), np.asarray(self._ref(x))
+        )
+
+    def test_backward_matches_select_and_scatter(self, rng):
+        """Same first-match tie rule as XLA SelectAndScatter — including
+        the relu-zero tie plateaus the stem actually produces."""
+        import jax
+
+        from fastposecnn_tpu.ops.pooling import max_pool_3x3_s2
+
+        ct = jnp.asarray(rng.normal(size=(2, 8, 12, 8)).astype(np.float32))
+        for tie in (False, True):
+            x = jnp.asarray(
+                rng.normal(size=(2, 16, 24, 8)).astype(np.float32)
+            )
+            if tie:
+                x = jnp.maximum(x, 0.0)  # many exact-zero ties
+            g_ref = jax.grad(lambda x: jnp.sum(self._ref(x) * ct))(x)
+            g_new = jax.grad(lambda x: jnp.sum(max_pool_3x3_s2(x) * ct))(x)
+            np.testing.assert_allclose(
+                np.asarray(g_new), np.asarray(g_ref), atol=1e-6
+            )
+
+
 class TestAggregation:
     def test_per_instance_means(self, rng):
         b, h, w, c = 1, 16, 16, 3
