@@ -64,6 +64,13 @@ class HParams:
     ENCODER_LEARNING_RATE: float = 0.00005 / 10
     NUM_EPOCHS: int = 50
     GRADIENT_CLIP_VAL: float = 0.15  # FPC/train.py:326
+    # ReduceLROnPlateau knobs (reference defaults hard-coded in
+    # FPC/lib/pose_regressor.py:417-438: patience 2, factor 0.25); exposed
+    # because with cheap staged epochs a noisy val loss can collapse the
+    # LR before learning starts (round-3 rotation run, BASELINE.md).
+    PLATEAU_PATIENCE: int = 2
+    PLATEAU_FACTOR: float = 0.25
+    PLATEAU_MIN_SCALE: float = 1e-4
 
     # Loss weights (FPC/config.py:62-70 + train.py:159-188)
     MASK_WEIGHT: float = 5.0

@@ -315,7 +315,11 @@ def fit(
         )
 
         # ---- plateau LR (pose_regressor.py:417-438) ----
-        plateau = optim.plateau_update(plateau, jnp.asarray(val_loss))
+        plateau = optim.plateau_update(
+            plateau, jnp.asarray(val_loss),
+            patience=hp.PLATEAU_PATIENCE, factor=hp.PLATEAU_FACTOR,
+            min_scale=hp.PLATEAU_MIN_SCALE,
+        )
         state = state._replace(
             opt_state=optim.set_lr_scale(state.opt_state, plateau.scale)
         )

@@ -300,7 +300,11 @@ def fit_staged(
         else:
             val_loss = float(np.mean(step_logs_h["pose/total_loss"]))
 
-        plateau = optim.plateau_update(plateau, jnp.asarray(val_loss))
+        plateau = optim.plateau_update(
+            plateau, jnp.asarray(val_loss),
+            patience=hp.PLATEAU_PATIENCE, factor=hp.PLATEAU_FACTOR,
+            min_scale=hp.PLATEAU_MIN_SCALE,
+        )
         state = state._replace(
             opt_state=optim.set_lr_scale(state.opt_state, plateau.scale)
         )
