@@ -196,6 +196,40 @@ class TestPaddedBatch:
             )
 
 
+class TestLegacyCheckpoint:
+    def test_pre_cinpad_checkpoint_loads_and_pads(self, rng, tmp_path):
+        """Checkpoints written before the C_in=4 stem pad hold [7,7,3,64]
+        stem kernels (+ matching optimizer moments); loading must zero-pad
+        the alpha slice transparently."""
+        import jax
+
+        from fastposecnn_tpu.train import checkpoint as ckpt
+
+        hp, net, pcfg, scfg, inv_K = tiny_setup()
+        opt = optim.make_optimizer(hp)
+        state = create_train_state(net, opt, jax.random.key(0), hp)
+
+        def strip(path, leaf):
+            names = [str(getattr(p, "key", "")) for p in path]
+            if "conv1" in names and getattr(leaf, "ndim", 0) == 4 \
+                    and leaf.shape[:2] == (7, 7) and leaf.shape[2] == 4:
+                return np.asarray(leaf)[:, :, :3, :]
+            return leaf
+
+        legacy = jax.tree_util.tree_map_with_path(strip, state)
+        ckpt.save_checkpoint(tmp_path / "ck", 0, legacy, hp)
+        restored, _ = ckpt.load_checkpoint(tmp_path / "ck", state, hp)
+        k = restored.params["encoder"]["conv1"]["kernel"]
+        assert k.shape[2] == 4
+        np.testing.assert_array_equal(
+            np.asarray(k[:, :, 3, :]), 0.0
+        )
+        np.testing.assert_array_equal(
+            np.asarray(k[:, :, :3, :]),
+            np.asarray(state.params["encoder"]["conv1"]["kernel"][:, :, :3]),
+        )
+
+
 class TestOptim:
     def test_plateau(self):
         st = optim.plateau_init()
