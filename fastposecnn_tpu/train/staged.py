@@ -327,11 +327,20 @@ def fit_staged(
                     ckpt_dir / "best", best_step, best_state, hp
                 )
                 best_state = None  # flushed
+        train_means = {
+            k.split("/")[-1]: float(np.mean(v))
+            for k, v in step_logs_h.items()
+            if k in ("quaternion/loss_quat", "xy/loss_xy", "z/loss_z",
+                     "scales/loss_scales", "mask/loss_ce",
+                     "pose/num_matched")
+        }
         msg = (
             f"epoch {epoch}: val_loss={val_loss:.4f} "
             f"lr_scale={float(plateau.scale):.4f} "
             f"skipped={int(jax.device_get(state.skipped_updates))} "
             f"epoch_s={dt:.1f} "
+            + " ".join(f"t_{k}={v:.3f}" for k, v in train_means.items())
+            + " "
             + " ".join(
                 f"{k.split('/')[-1]}={v:.2f}" for k, v in pose_vals.items()
             )
