@@ -86,37 +86,54 @@ def _pad_legacy_stem(state, abstract_state):
     return jax.tree_util.tree_map_with_path(fix, abstract_state, state)
 
 
+def _stored_stem_is_legacy(directory, step) -> bool:
+    """True when the checkpoint's stem kernel was saved with C_in=3 (before
+    the wire pad). Decided by reading the stem array's zarr shape straight
+    from the ocdbt kvstore — NOT by a trial restore: a failed restore
+    attempt leaves cancelled TensorStore reads that can wedge the next
+    restore in the same process (observed on the round-3 training runs)."""
+    try:
+        import tensorstore as ts
+
+        state_dir = str(pathlib.Path(directory).absolute() / str(step)
+                        / "state") + "/"
+        spec = {
+            "driver": "zarr",
+            "kvstore": {
+                "driver": "ocdbt",
+                "base": {"driver": "file", "path": state_dir},
+                "path": "params.encoder.conv1.kernel/",
+            },
+        }
+        t = ts.open(spec, open=True, read=True).result()
+        return len(t.shape) == 4 and t.shape[2] == 3
+    except Exception:
+        return False
+
+
 def load_checkpoint(
     directory, abstract_state: Any, hp: HParams, step: Optional[int] = None
 ) -> Tuple[Any, HParams]:
     """Restore (state, merged_hparams). `abstract_state` provides the pytree
-    structure/shapes (e.g. a freshly-initialized TrainState)."""
+    structure/shapes (e.g. a freshly-initialized TrainState). Pre-C_in-pad
+    checkpoints (3-channel stem, see resnet.py) are detected from metadata
+    and zero-padded transparently."""
     mgr = _manager(directory)
     step = step if step is not None else mgr.latest_step()
-    try:
-        restored = mgr.restore(
-            step,
-            args=ocp.args.Composite(
-                state=ocp.args.StandardRestore(abstract_state),
-                hparams=ocp.args.JsonRestore(),
-            ),
-        )
-        state = restored["state"]
-    except Exception:
-        # Pre-C_in-pad checkpoint: restore with 3-channel stem shapes and
-        # zero-pad the alpha slice (numerics identical — see resnet.py).
-        mgr.close()
-        mgr = _manager(directory)
-        restored = mgr.restore(
-            step,
-            args=ocp.args.Composite(
-                state=ocp.args.StandardRestore(
-                    _legacy_stem_abstract(abstract_state)
-                ),
-                hparams=ocp.args.JsonRestore(),
-            ),
-        )
-        state = _pad_legacy_stem(restored["state"], abstract_state)
+    legacy = _stored_stem_is_legacy(directory, step)
+    abstract = (
+        _legacy_stem_abstract(abstract_state) if legacy else abstract_state
+    )
+    restored = mgr.restore(
+        step,
+        args=ocp.args.Composite(
+            state=ocp.args.StandardRestore(abstract),
+            hparams=ocp.args.JsonRestore(),
+        ),
+    )
+    state = restored["state"]
+    if legacy:
+        state = _pad_legacy_stem(state, abstract_state)
     mgr.close()
     ckpt_hp = HParams.from_json(restored["hparams"])
     return state, merge_from_checkpoint(hp, ckpt_hp)
