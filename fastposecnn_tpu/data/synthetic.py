@@ -58,7 +58,7 @@ def _quat_random(rng) -> np.ndarray:
     return q / np.linalg.norm(q)
 
 
-def _raycast_box(R, T_m, half, intr, h, w):
+def _raycast_box(R, T_m, half, intr, h, w, stripe_freq=0):
     """Ray-cast one oriented box; returns (hit [H,W] bool, rgb [H,W,3],
     depth_m [H,W]).
 
@@ -67,7 +67,11 @@ def _raycast_box(R, T_m, half, intr, h, w):
     Rays move to object space with p_obj = R @ (p_cam - T) — the same
     camera->object convention as the scene RT below. Surface color is the
     normalized object coordinate p_obj/(2*half) + 0.5, i.e. a NOCS
-    coordinate map.
+    coordinate map, optionally modulated by an object-space stripe pattern
+    of `stripe_freq` periods along object-x: the CLASS signature. Without
+    it every class renders identically, the mask head cannot infer class
+    on unseen scenes, and class-aware matching fails on validation —
+    silently capping every pose metric (found round 3).
     """
     # Projected-corner bbox bounds the region to cast (cheap numpy).
     corners = np.array(
@@ -102,6 +106,14 @@ def _raycast_box(R, T_m, half, intr, h, w):
 
     p_obj = o + tmin[..., None] * d
     rgb_r = np.clip(p_obj / (2 * half) + 0.5, 0.0, 1.0)
+    if stripe_freq:
+        # Multiplicative stripes keep the low-frequency NOCS gradient (the
+        # rotation cue) while the stripe count encodes the class — and,
+        # being an object-space pattern, doubles as extra pose texture.
+        u = p_obj[..., 0] / (2 * half[0]) + 0.5
+        rgb_r = rgb_r * (
+            0.75 + 0.25 * np.cos(2 * np.pi * stripe_freq * u)
+        )[..., None]
 
     hit = np.zeros((h, w), bool)
     rgb = np.zeros((h, w, 3), np.float32)
@@ -156,16 +168,20 @@ def _generate_scene_raycast(
         cy = float(rng.uniform(0.15 * h, 0.85 * h))
         q = _quat_random(rng)  # xyzw
         R = _sst.Rotation.from_quat(q).as_matrix()
+        cls = int(rng.integers(1, cfg.num_classes))
         z_m = inst_z / 1000.0
         T_m = inv_intr @ np.asarray([cx * z_m, cy * z_m, z_m])
-        cast = _raycast_box(R, T_m, inst_scales / 2.0, intr, h, w)
+        # Class -> stripe count (class c renders c+1 object-space stripe
+        # periods): without a visual class signature the mask head cannot
+        # classify unseen boxes and class-aware matching collapses.
+        cast = _raycast_box(R, T_m, inst_scales / 2.0, intr, h, w,
+                            stripe_freq=cls + 1)
         if cast is None:
             continue
         hit, rgb, depth = cast
         if hit.sum() < 12 or (hit & occupied).any():
             continue
         occupied |= hit
-        cls = int(rng.integers(1, cfg.num_classes))
         k = placed
         # Depth-dependent brightness ramp: disambiguates the scale<->z
         # projective degeneracy (a bigger box farther away would otherwise
