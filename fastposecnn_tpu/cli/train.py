@@ -124,6 +124,13 @@ def main(argv=None):
     if args.stage_on_device:
         from fastposecnn_tpu.train.staged import fit_staged
 
+        if hp.NUM_DEVICES > 1:
+            print(
+                f"WARNING: --stage_on_device trains on a SINGLE device; "
+                f"--NUM_DEVICES {hp.NUM_DEVICES} is ignored (the streaming "
+                f"trainer supports the dp/tp mesh)."
+            )
+
         state, run_dir = fit_staged(
             hp, train_ds, valid_ds, inv_K,
             enable_tb=not args.no_tb, num_epochs=args.epochs,

@@ -378,8 +378,12 @@ def augment_sample(sample, rng, cfg: AugmentConfig = None, intrinsics=None):
     the supervision stays mutually consistent. Photometric: image only.
     Mutates and returns `sample`."""
     cfg = cfg or AugmentConfig()
+    # Dtype check, not a value heuristic: a near-black uint8 frame has
+    # max <= 1 and a value test would skip the /255, then the requantize
+    # would saturate it to white.
+    is_uint8 = sample["image"].dtype == np.uint8
     img = sample["image"].astype(np.float32)
-    if img.max() > 1.5:  # uint8 wire
+    if is_uint8:
         img = img / 255.0
 
     if rng.random() < cfg.perspective_p:
@@ -421,9 +425,10 @@ def augment_sample(sample, rng, cfg: AugmentConfig = None, intrinsics=None):
 def augment_pose_training(
     image: np.ndarray, rng: np.random.Generator, cfg: AugmentConfig = None
 ) -> np.ndarray:
-    """Image-only entry (photometric part; geometric ops need the full
-    sample — use `augment_sample`). Kept for the image-only wire in
-    NOCSDataset._read_image when perspective is disabled."""
+    """Image-only alias of `apply_photometric` (the geometric ops need the
+    full sample — use `augment_sample`, which is what
+    NOCSDataset.__getitem__ calls). Public API kept for photometric-only
+    callers and tests."""
     return apply_photometric(image, rng, cfg)
 
 

@@ -86,23 +86,32 @@ class PrefetchLoader:
             self.dataset.epoch = self.epoch
 
         def producer():
-            if self.backend == "process":
-                # Workers fork AFTER self.dataset.epoch was set above, so
-                # augmentation draws stay epoch-correct in the children.
-                pool = ProcessPoolExecutor(
-                    self.num_workers,
-                    initializer=_init_worker,
-                    initargs=(self.dataset,),
-                )
-                get = _worker_get
-            else:
-                pool = ThreadPoolExecutor(self.num_workers)
-                get = self.dataset.__getitem__
-            with pool:
-                for chunk in self._index_batches():
-                    samples = list(pool.map(get, chunk))
-                    out_q.put(collate(samples))
-            out_q.put(sentinel)
+            # The sentinel must reach the consumer on EVERY exit path —
+            # a worker exception (BrokenProcessPool, pickling failure,
+            # OOM-killed fork) would otherwise leave the training loop
+            # blocked on out_q.get() forever. The error itself is re-raised
+            # in the consumer.
+            try:
+                if self.backend == "process":
+                    # Workers fork AFTER self.dataset.epoch was set above,
+                    # so augmentation draws stay epoch-correct in children.
+                    pool = ProcessPoolExecutor(
+                        self.num_workers,
+                        initializer=_init_worker,
+                        initargs=(self.dataset,),
+                    )
+                    get = _worker_get
+                else:
+                    pool = ThreadPoolExecutor(self.num_workers)
+                    get = self.dataset.__getitem__
+                with pool:
+                    for chunk in self._index_batches():
+                        samples = list(pool.map(get, chunk))
+                        out_q.put(collate(samples))
+            except BaseException as e:  # noqa: BLE001
+                out_q.put(("__loader_error__", e))
+            finally:
+                out_q.put(sentinel)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -110,6 +119,10 @@ class PrefetchLoader:
             item = out_q.get()
             if item is sentinel:
                 break
+            if isinstance(item, tuple) and len(item) == 2 \
+                    and item[0] == "__loader_error__":
+                t.join()
+                raise item[1]
             yield item  # may be None (all samples rejected) — callers skip
         t.join()
         self.epoch += 1

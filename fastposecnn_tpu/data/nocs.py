@@ -284,7 +284,7 @@ class NOCSDataset:
                 )
             else:
                 img = sample["image"].astype(np.float32)
-                if img.max() > 1.5:
+                if sample["image"].dtype == np.uint8:
                     img = img / 255.0
                 sample["image"] = A.augment_validation(
                     img, aug_rng, self.aug_cfg

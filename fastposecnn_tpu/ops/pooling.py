@@ -73,11 +73,17 @@ def _bwd(res, ct):
     for dy_off, dx_off, g in grads:
         dil = jnp.zeros((b, 2 * ho, 2 * wo, c), ct.dtype)
         dil = dil.at[:, ::2, ::2, :].set(g)  # static-stride set: no gather
+        # For odd input sizes the dilated grid overhangs the padded frame
+        # by one row/col at the larger offsets — crop before padding (all
+        # shapes static).
+        dy_len = min(2 * ho, h + 2 - dy_off)
+        dx_len = min(2 * wo, w + 2 - dx_off)
+        dil = dil[:, :dy_len, :dx_len, :]
         gxp = gxp + jnp.pad(
             dil,
             ((0, 0),
-             (dy_off, h + 2 - 2 * ho - dy_off),
-             (dx_off, w + 2 - 2 * wo - dx_off),
+             (dy_off, h + 2 - dy_off - dy_len),
+             (dx_off, w + 2 - dx_off - dx_len),
              (0, 0)),
         )
     return (gxp[:, 1:h + 1, 1:w + 1, :],)

@@ -75,13 +75,19 @@ def stage_dataset(ds) -> Optional[dict]:
 
 
 def _gather_batch(staged, idxs, sample_valid):
-    batch = {
+    agg = {k: v[idxs] for k, v in staged["agg"].items()}
+    # Padded validation slots repeat a REAL sample index (so shapes stay
+    # static); sample_valid masks the pixel-wise losses, but the matched
+    # pose losses and the metric bank are gated by agg['valid'] — zero it
+    # for padded slots or the repeated sample's instances would be counted
+    # once per duplicate.
+    agg["valid"] = agg["valid"] & (sample_valid > 0.5)[:, None]
+    return {
         "image": staged["image"][idxs],
         "mask": staged["mask"][idxs],
-        "agg": {k: v[idxs] for k, v in staged["agg"].items()},
+        "agg": agg,
         "sample_valid": sample_valid,
     }
-    return batch
 
 
 def _val_index_plan(n: int, batch_size: int):

@@ -178,6 +178,31 @@ class TestPooling:
                 np.asarray(g_new), np.asarray(g_ref), atol=1e-6
             )
 
+    def test_odd_spatial_sizes(self, rng):
+        """Odd pooled sizes overhang the dilated backward grid (regression:
+        negative pad widths crashed the VJP for inputs like 15x17)."""
+        import jax
+
+        from fastposecnn_tpu.ops.pooling import max_pool_3x3_s2
+
+        for h, w in ((15, 17), (15, 24), (16, 17), (7, 7)):
+            x = jnp.asarray(
+                rng.normal(size=(1, h, w, 4)).astype(np.float32)
+            )
+            np.testing.assert_array_equal(
+                np.asarray(max_pool_3x3_s2(x)), np.asarray(self._ref(x))
+            )
+            ct_shape = self._ref(x).shape
+            ct = jnp.asarray(
+                rng.normal(size=ct_shape).astype(np.float32)
+            )
+            g_ref = jax.grad(lambda x: jnp.sum(self._ref(x) * ct))(x)
+            g_new = jax.grad(lambda x: jnp.sum(max_pool_3x3_s2(x) * ct))(x)
+            np.testing.assert_allclose(
+                np.asarray(g_new), np.asarray(g_ref), atol=1e-6,
+                err_msg=f"{h}x{w}",
+            )
+
 
 class TestAggregation:
     def test_per_instance_means(self, rng):

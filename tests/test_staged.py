@@ -24,6 +24,31 @@ class TestValIndexPlan:
         assert idx.shape == (1, 4) and valid.sum() == 1
 
 
+def test_gather_batch_zeroes_padded_agg_validity():
+    """Padded val slots repeat a real index; their GT instance validity
+    must be zeroed or matched pose losses / the metric bank would count
+    the repeated sample once per duplicate (review finding, round 3)."""
+    import jax.numpy as jnp
+
+    from fastposecnn_tpu.train.staged import _gather_batch
+
+    staged = {
+        "image": jnp.zeros((2, 4, 4, 3), jnp.uint8),
+        "mask": jnp.zeros((2, 4, 4), jnp.uint8),
+        "agg": {
+            "valid": jnp.asarray([[True, True], [True, False]]),
+            "xy": jnp.ones((2, 2, 2)),
+        },
+    }
+    idxs = jnp.asarray([0, 0, 0, 1], jnp.int32)
+    sv = jnp.asarray([1.0, 0.0, 0.0, 1.0])
+    out = _gather_batch(staged, idxs, sv)
+    np.testing.assert_array_equal(
+        np.asarray(out["agg"]["valid"]),
+        [[True, True], [False, False], [False, False], [True, False]],
+    )
+
+
 @pytest.mark.slow
 def test_staged_cli_end_to_end(tmp_path, monkeypatch):
     """The staged trainer runs the full CLI path: stage -> scan-epoch ->
