@@ -82,6 +82,27 @@ class HParams:
     ZLOSS_TYPE: str = "L1"
     SCALESLOSS_TYPE: str = "L1"
 
+    # Dense (per-pixel) auxiliary supervision over GT instance masks — a
+    # beyond-reference addition (the reference trains quat/xy/z/scales only
+    # through ~N-per-image matched-instance losses; PVNet, from which the
+    # voting comes, trains its vertex field densely). 0.0 == reference
+    # parity (off). When on, each head also gets a masked L1 on the dense
+    # field at the GT class channels: quat vs the instance quaternion, xy
+    # vs unit vectors to the instance center, z vs log-depth, scales vs
+    # the normalized scales. See losses.dense_supervision.
+    DENSE_QUAT_WEIGHT: float = 0.0
+    DENSE_XY_WEIGHT: float = 0.0
+    DENSE_Z_WEIGHT: float = 0.0
+    DENSE_SCALES_WEIGHT: float = 0.0
+
+    # Regression-head bias inits (models/pose_regressor.py): start the z /
+    # scales heads at the target distribution's center. 0.0 == reference
+    # parity (zero-bias xavier heads). Recommended for training from
+    # scratch: HEAD_Z_BIAS_INIT ~= 7.0 (mean log z_mm on NOCS),
+    # HEAD_SCALES_BIAS_INIT ~= mean normalized scale.
+    HEAD_Z_BIAS_INIT: float = 0.0
+    HEAD_SCALES_BIAS_INIT: float = 0.0
+
     # Freezing (FPC/config.py:72-77)
     FREEZE_ENCODER: bool = False
     FREEZE_MASK_TRAINING: bool = False

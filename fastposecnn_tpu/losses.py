@@ -259,3 +259,102 @@ MATCHED_LOSSES = {
     "iou3d": iou3d_loss,
     "offset": offset_loss,
 }
+
+
+# -----------------------------------------------------------------------------
+# Dense per-pixel auxiliary supervision (beyond-reference; see config.py
+# DENSE_*_WEIGHT). The reference's only gradient into the quat/xy/z/scales
+# heads is the matched-instance losses above — ~N signals per image, routed
+# through aggregation/voting. PVNet (whose RANSAC voting the reference
+# vendors) trains its vertex field DENSELY (smooth-L1 on the unit-vector
+# field over instance pixels); this generalizes that to all four heads.
+# Targets are painted in-graph from the batch's padded agg GT
+# (instance_masks [B,N,H,W] + per-instance values), and predictions are the
+# raw head fields selected at each pixel's GT class channels — independent
+# of predicted-mask quality, so the heads receive signal from step 0.
+
+
+def _gt_class_select(field: Array, gt_mask: Array, k: int) -> Array:
+    """Select each pixel's GT-class channel group from a class-major flat
+    field [B,H,W,k*(C-1)] -> [B,H,W,k]. Background pixels -> 0 (one_hot of
+    -1 is all-zero). Mirrors ops.class_compress but keyed on the GT mask."""
+    from fastposecnn_tpu.ops.class_compress import _field_maps
+
+    cm1 = field.shape[-1] // k
+    # int32 first: the uint8 wire mask would wrap background 0 -> 255.
+    onehot = jax.nn.one_hot(gt_mask.astype(jnp.int32) - 1, cm1,
+                            dtype=field.dtype)
+    chan_class, G = _field_maps(cm1, k)
+    masked = field * onehot[..., jnp.asarray(chan_class)]
+    return jnp.einsum(
+        "bhwd,dk->bhwk", masked, jnp.asarray(G, field.dtype),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def dense_supervision(
+    logits: Dict[str, Array],
+    gt_mask: Array,
+    agg: Dict[str, Array],
+    weights: Dict[str, float],
+    sample_weight: Array | None = None,
+) -> Tuple[Array, Dict[str, Array]]:
+    """Masked dense L1 losses on the raw head fields at GT class channels.
+
+    weights: {'quaternion': w, 'xy': w, 'z': w, 'scales': w} — terms with
+    weight 0.0 are not traced at all. Returns (weighted total, logs).
+    """
+    total = jnp.zeros((), jnp.float32)
+    logs: Dict[str, Array] = {}
+    if not any(weights.values()):
+        return total, logs
+
+    inst = agg["instance_masks"].astype(jnp.float32)  # [B, N, H, W]
+    vf = agg["valid"].astype(jnp.float32)
+    inst = inst * vf[..., None, None]
+    if sample_weight is not None:
+        inst = inst * sample_weight.astype(jnp.float32)[:, None, None, None]
+    fg = jnp.sum(inst, axis=1)  # [B, H, W] (instances are disjoint)
+
+    def paint(values: Array) -> Array:  # [B, N, D] -> [B, H, W, D]
+        return jnp.einsum("bnhw,bnd->bhwd", inst, values)
+
+    def masked_l1(pred: Array, target: Array) -> Array:
+        err = jnp.sum(jnp.abs(pred - target), axis=-1)  # sum over components
+        return jnp.sum(err * fg) / jnp.maximum(jnp.sum(fg), 1.0)
+
+    if weights.get("quaternion"):
+        pred = _gt_class_select(logits["quaternion"], gt_mask, 4)
+        loss = masked_l1(pred, paint(agg["quaternion"]))
+        logs["quaternion/loss_dense"] = loss
+        total = total + weights["quaternion"] * loss
+
+    if weights.get("xy"):
+        pred = _gt_class_select(logits["xy"], gt_mask, 2)
+        b, h, w = gt_mask.shape
+        xs = jnp.arange(w, dtype=jnp.float32)[None, None, :]
+        ys = jnp.arange(h, dtype=jnp.float32)[None, :, None]
+        centers = paint(agg["xy"])  # [B, H, W, 2] (x, y)
+        dvec = jnp.stack(
+            [centers[..., 0] - xs, centers[..., 1] - ys], axis=-1
+        )
+        target = geometry.safe_normalize(dvec)
+        loss = masked_l1(pred, target)
+        logs["xy/loss_dense"] = loss
+        total = total + weights["xy"] * loss
+
+    if weights.get("z"):
+        pred = _gt_class_select(logits["z"], gt_mask, 1)
+        logz = jnp.log(jnp.maximum(agg["z"], 1e-8))[..., None]
+        loss = masked_l1(pred, paint(logz))
+        logs["z/loss_dense"] = loss
+        total = total + weights["z"] * loss
+
+    if weights.get("scales"):
+        pred = _gt_class_select(logits["scales"], gt_mask, 3)
+        loss = masked_l1(pred, paint(agg["scales"]))
+        logs["scales/loss_dense"] = loss
+        total = total + weights["scales"] * loss
+
+    logs["pose/dense_total"] = total
+    return total, logs

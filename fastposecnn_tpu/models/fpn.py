@@ -157,12 +157,27 @@ class SegmentationHead(nn.Module):
     out_channels: int
     upsampling: int = 4
     dtype: jnp.dtype = jnp.float32
+    # Per-channel constant bias init (len == out_channels), or None for
+    # zeros. Used to start regression heads at the target distribution's
+    # center (e.g. log-depth ~= 7.0 for z in log-mm) so adaptive-optimizer
+    # updates spend steps on residuals, not on covering a large DC offset.
+    bias_init_values: tuple | None = None
 
     @nn.compact
     def __call__(self, x):
+        if self.bias_init_values is not None:
+            bvals = np.asarray(self.bias_init_values, np.float32)
+
+            def bias_init(key, shape, dtype=jnp.float32):
+                del key
+                return jnp.asarray(bvals, dtype).reshape(shape)
+
+        else:
+            bias_init = nn.initializers.zeros
         x = nn.Conv(
             self.out_channels, (1, 1), dtype=self.dtype,
             kernel_init=nn.initializers.xavier_uniform(),
+            bias_init=bias_init,
             name="conv",
         )(x)
         if self.upsampling > 1:

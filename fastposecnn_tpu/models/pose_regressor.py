@@ -51,6 +51,15 @@ class PoseRegressorNet(nn.Module):
     decoder_dropout: float = 0.2
     upsampling: int = 4
     dtype: Any = jnp.float32
+    # Regression-head DC-offset inits (0.0 == reference parity: xavier
+    # kernel + zero bias, FPC/lib/initialization.py:20-27). Setting
+    # z_bias_init to the mean log-depth (log z_mm ~= 7.0 for NOCS) and
+    # scales_bias_init to the mean normalized scale starts the heads at
+    # the target distribution's center; with adaptive optimizers a zero
+    # init otherwise spends O(target/lr) steps covering the DC offset
+    # (measured: log-z output still ~1.3 under target after 33k steps).
+    z_bias_init: float = 0.0
+    scales_bias_init: float = 0.0
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> Dict[str, jax.Array]:
@@ -63,7 +72,7 @@ class PoseRegressorNet(nn.Module):
         features = ResNetEncoder(self.encoder_name, dtype=self.dtype,
                                  name="encoder")(x, train=train)
 
-        def decode(name: str, out_channels: int):
+        def decode(name: str, out_channels: int, bias_init=None):
             d = FPNDecoder(
                 pyramid_channels=self.pyramid_channels,
                 segmentation_channels=self.segmentation_channels,
@@ -73,13 +82,25 @@ class PoseRegressorNet(nn.Module):
             )(features, train=train)
             return SegmentationHead(
                 out_channels, upsampling=self.upsampling, dtype=self.dtype,
+                bias_init_values=bias_init,
                 name=f"{name}_head",
             )(d)
 
+        # Translation head: channels 3k/3k+1 are the xy unit-vector field
+        # (targets O(1), zero-centered); 3k+2 is log-depth.
+        xyz_bias = tuple(
+            self.z_bias_init if (j % 3 == 2) else 0.0
+            for j in range(3 * (c - 1))
+        ) if self.z_bias_init else None
+        scales_bias = (
+            (self.scales_bias_init,) * (3 * (c - 1))
+            if self.scales_bias_init else None
+        )
+
         mask_logits = decode("mask", c)
         quat_logits = decode("rotation", 4 * (c - 1))
-        xyz_logits = decode("translation", 3 * (c - 1))
-        scales_logits = decode("scales", 3 * (c - 1))
+        xyz_logits = decode("translation", 3 * (c - 1), bias_init=xyz_bias)
+        scales_logits = decode("scales", 3 * (c - 1), bias_init=scales_bias)
 
         # Per class: channels (0,1) are the xy unit-vector field, channel 2
         # is log-depth (FPC pose_regressor.py:729-732 channel split). Static

@@ -190,6 +190,8 @@ def fit(
         dtype=jnp.bfloat16
         if (hp.COMPUTE_DTYPE == "bfloat16" and jax.default_backend() == "tpu")
         else jnp.float32,
+        z_bias_init=hp.HEAD_Z_BIAS_INIT,
+        scales_bias_init=hp.HEAD_SCALES_BIAS_INIT,
     )
     pcfg = pipeline_config_from(hp)
     optimizer = optim.make_optimizer(hp)

@@ -85,6 +85,22 @@ def _compute_losses(
     logs["mask/task_total_loss"] = mask_total
     total = total + mask_total
 
+    # Dense per-pixel auxiliary supervision (beyond-reference, off by
+    # default — see config.py DENSE_*_WEIGHT and losses.dense_supervision).
+    dense_weights = {
+        "quaternion": hp.DENSE_QUAT_WEIGHT,
+        "xy": hp.DENSE_XY_WEIGHT,
+        "z": hp.DENSE_Z_WEIGHT,
+        "scales": hp.DENSE_SCALES_WEIGHT,
+    }
+    if any(dense_weights.values()) and "agg" in batch:
+        dense_total, dense_logs = L.dense_supervision(
+            out["logits"], batch["mask"], batch["agg"], dense_weights,
+            sample_weight=sw,
+        )
+        logs.update(dense_logs)
+        total = total + dense_total
+
     matched = None
     if perform_matching and out["aggregated"] is not None:
         match = match_instances(out["aggregated"], batch["agg"])

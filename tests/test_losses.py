@@ -148,3 +148,66 @@ class TestMaskedMSE:
         expect = np.mean((pred * fg - gt) ** 2)
         np.testing.assert_allclose(float(val), expect, rtol=1e-5)
         assert float(has) == 1.0
+
+
+class TestDenseSupervision:
+    """losses.dense_supervision: perfect head fields => ~0; GT-channel
+    selection and instance-validity / sample-weight gating."""
+
+    WEIGHTS = {"quaternion": 1.0, "xy": 1.0, "z": 1.0, "scales": 1.0}
+
+    def _scene_batch(self, seed=0):
+        from fastposecnn_tpu.data.synthetic import (
+            SceneConfig, generate_scene, perfect_logits,
+        )
+
+        cfg = SceneConfig(height=64, width=64, num_classes=4, max_instances=4)
+        rng = np.random.default_rng(seed)
+        scene = generate_scene(rng, cfg)
+        logits = {
+            k: jnp.asarray(v)
+            for k, v in perfect_logits(scene, cfg.num_classes).items()
+        }
+        gt_mask = jnp.asarray(scene["mask"][None].astype(np.uint8))
+        agg = {k: jnp.asarray(v[None]) for k, v in scene["agg"].items()}
+        return logits, gt_mask, agg
+
+    def test_perfect_logits_zero_loss(self):
+        logits, gt_mask, agg = self._scene_batch()
+        total, logs = L.dense_supervision(logits, gt_mask, agg, self.WEIGHTS)
+        assert float(total) < 1e-4, dict(logs)
+        for k in ("quaternion/loss_dense", "xy/loss_dense", "z/loss_dense",
+                  "scales/loss_dense"):
+            assert k in logs and float(logs[k]) < 1e-4
+
+    def test_wrong_fields_positive_loss(self):
+        logits, gt_mask, agg = self._scene_batch()
+        bad = {k: (v + 1.0 if k != "mask" else v) for k, v in logits.items()}
+        total, _ = L.dense_supervision(bad, gt_mask, agg, self.WEIGHTS)
+        assert float(total) > 0.5
+
+    def test_zero_weights_trace_nothing(self):
+        logits, gt_mask, agg = self._scene_batch()
+        total, logs = L.dense_supervision(
+            logits, gt_mask, agg,
+            {"quaternion": 0.0, "xy": 0.0, "z": 0.0, "scales": 0.0},
+        )
+        assert float(total) == 0.0 and logs == {}
+
+    def test_sample_weight_gates_everything(self):
+        logits, gt_mask, agg = self._scene_batch()
+        sw = jnp.zeros((1,), jnp.float32)
+        total, logs = L.dense_supervision(
+            logits, gt_mask, agg, self.WEIGHTS, sample_weight=sw
+        )
+        assert float(total) == 0.0
+
+    def test_invalid_instances_excluded(self):
+        logits, gt_mask, agg = self._scene_batch()
+        agg = dict(agg)
+        agg["valid"] = jnp.zeros_like(agg["valid"])
+        # With all instances invalid the fg mask is empty -> loss 0 even
+        # with corrupted fields.
+        bad = {k: (v + 3.0 if k != "mask" else v) for k, v in logits.items()}
+        total, _ = L.dense_supervision(bad, gt_mask, agg, self.WEIGHTS)
+        assert float(total) == 0.0

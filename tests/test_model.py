@@ -73,3 +73,24 @@ class TestUpsample:
             mode="nearest",
         ).permute(0, 2, 3, 1).numpy()
         np.testing.assert_array_equal(ours, ref)
+
+
+def test_head_bias_init():
+    """z/scales head bias inits land on the right channels (z channels are
+    3k+2 of the translation head) and default to reference parity (zeros)."""
+    from fastposecnn_tpu.models import PoseRegressorNet
+
+    net = PoseRegressorNet(num_classes=4, z_bias_init=7.0,
+                           scales_bias_init=0.25)
+    v = net.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3), jnp.float32))
+    tb = np.asarray(v["params"]["translation_head"]["conv"]["bias"])
+    sb = np.asarray(v["params"]["scales_head"]["conv"]["bias"])
+    assert tb.shape == (9,) and sb.shape == (9,)
+    np.testing.assert_allclose(tb, [0, 0, 7.0] * 3)
+    np.testing.assert_allclose(sb, [0.25] * 9)
+
+    default = PoseRegressorNet(num_classes=4)
+    v0 = default.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))
+    np.testing.assert_allclose(
+        np.asarray(v0["params"]["translation_head"]["conv"]["bias"]), 0.0
+    )
