@@ -221,6 +221,7 @@ def fit_staged(
     best_val = float("inf")
     best_state = None
     best_step = 0
+    last_flush_t = time.perf_counter()
     rng = jax.random.key(42)
     ckpt_dir = run_dir / "checkpoints"
     shuffle_rng = np.random.default_rng(42)
@@ -325,7 +326,15 @@ def fit_staged(
         if val_loss < best_val:
             best_val = val_loss
             best_state, best_step = state, int(jax.device_get(state.step))
-        if (epoch + 1) % hp.CKPT_SAVE_FREQUENCY == 0:
+        # Flush on the periodic epoch cadence OR a 10-minute wall-clock
+        # cadence, whichever fires first: with CKPT_SAVE_FREQUENCY sized
+        # for cheap staged epochs (hundreds), a killed run would otherwise
+        # leave NOTHING on disk (the round-3 ROT3B_S2 kill lost 25 epochs).
+        flush_due = (epoch + 1) % hp.CKPT_SAVE_FREQUENCY == 0 or (
+            time.perf_counter() - last_flush_t > 600.0
+        )
+        if flush_due:
+            last_flush_t = time.perf_counter()
             ckpt.save_checkpoint(
                 ckpt_dir / "periodic", int(jax.device_get(state.step)),
                 state, hp,
