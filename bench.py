@@ -38,7 +38,8 @@ def main():
     )
     pcfg = C.pipeline_config_from(hp, use_pallas=True if on_tpu else False)
     inv_K = jnp.asarray(
-        np.linalg.inv(constants.INTRINSICS[hp.DATASET_NAME]), jnp.float32
+        np.linalg.inv(constants.scaled_intrinsics(
+            hp.DATASET_NAME, hp.IMAGE_HEIGHT, hp.IMAGE_WIDTH)), jnp.float32
     )
 
     key = jax.random.key(0)

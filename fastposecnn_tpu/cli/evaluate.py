@@ -138,7 +138,8 @@ def _save_comparison_figure(hp, batch, matched, out, bi, draw_dir):
     from fastposecnn_tpu import constants
     from fastposecnn_tpu.utils import visualize as vz
 
-    intr = constants.INTRINSICS[hp.DATASET_NAME]
+    intr = constants.scaled_intrinsics(
+        hp.DATASET_NAME, hp.IMAGE_HEIGHT, hp.IMAGE_WIDTH)
     img = vz.denormalize_image(np.asarray(batch["image"][0]))
     cat = jax.device_get(out["categorical"])
     agg = jax.device_get(out["aggregated"])
@@ -293,7 +294,8 @@ def main(argv=None):
         if hp.CHECKPOINT:
             state, hp = ckpt.load_any_checkpoint(hp.CHECKPOINT, state, hp)
         pcfg = C.pipeline_config_from(hp)
-        inv_K = np.linalg.inv(constants.INTRINSICS[hp.DATASET_NAME])
+        inv_K = np.linalg.inv(constants.scaled_intrinsics(
+            hp.DATASET_NAME, hp.IMAGE_HEIGHT, hp.IMAGE_WIDTH))
         mesh = None
         if hp.NUM_DEVICES > 1:
             dp = max(hp.NUM_DEVICES // hp.NUM_TP, 1)

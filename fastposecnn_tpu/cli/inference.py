@@ -87,9 +87,11 @@ def main(argv=None):
         state, hp = ckpt.load_any_checkpoint(hp.CHECKPOINT, state, hp)
     pcfg = C.pipeline_config_from(hp)
     inv_K = jnp.asarray(
-        np.linalg.inv(constants.INTRINSICS[hp.DATASET_NAME]), jnp.float32
+        np.linalg.inv(constants.scaled_intrinsics(
+            hp.DATASET_NAME, hp.IMAGE_HEIGHT, hp.IMAGE_WIDTH)), jnp.float32
     )
-    intrinsics = constants.INTRINSICS[hp.DATASET_NAME]
+    intrinsics = constants.scaled_intrinsics(
+        hp.DATASET_NAME, hp.IMAGE_HEIGHT, hp.IMAGE_WIDTH)
 
     # Six reference stages (FPC/lib/pose_regressor.py:43-48 timer instances,
     # report at inference.py:165-166) + the fused program actually served.

@@ -90,6 +90,14 @@ def main(argv=None):
         valid_dir = write_synthetic_nocs(
             tmp / "valid", max(2, args.synthetic // 4), 1, scfg
         )
+
+        def synth_regen(epoch: int) -> None:
+            # Fresh scene geometry per restage (--stage_on_device
+            # --restage_every K): overwrites the train split in place with a
+            # disjoint seed stream (valid seed is 1; train seeds 0 then
+            # 2,3,...), making the effective training set infinite so the
+            # network cannot memorize a fixed scene bank.
+            write_synthetic_nocs(tmp / "train", args.synthetic, epoch + 2, scfg)
     if not train_dir or not valid_dir:
         raise SystemExit(
             "No dataset: set NOCS_*_DATASET env vars, pass --train_dir/"
@@ -120,7 +128,8 @@ def main(argv=None):
         valid_ds, hp.BATCH_SIZE, shuffle=False, num_workers=hp.NUM_WORKERS
     )
 
-    inv_K = np.linalg.inv(constants.INTRINSICS[hp.DATASET_NAME])
+    inv_K = np.linalg.inv(constants.scaled_intrinsics(
+        hp.DATASET_NAME, hp.IMAGE_HEIGHT, hp.IMAGE_WIDTH))
     if args.stage_on_device:
         from fastposecnn_tpu.train.staged import fit_staged
 
@@ -135,6 +144,7 @@ def main(argv=None):
             hp, train_ds, valid_ds, inv_K,
             enable_tb=not args.no_tb, num_epochs=args.epochs,
             resume_from=args.resume, restage_every=args.restage_every,
+            regen_fn=synth_regen if args.synthetic else None,
         )
     else:
         state, run_dir = fit(

@@ -34,6 +34,21 @@ IMAGE_HEIGHT = 480
 IMAGE_WIDTH = 640
 
 
+def scaled_intrinsics(dataset_name: str, height: int, width: int) -> np.ndarray:
+    """Intrinsics rescaled from the native 640x480 capture resolution to a
+    (height, width) working resolution (uniform resampling: fx/cx scale with
+    width, fy/cy with height). Identity at the native size, so full-res real
+    NOCS behavior is unchanged; at reduced working sizes this keeps the
+    projected-center GT, the dense vote-field targets, and RT unprojection
+    in the SAME pixel coordinate frame as the rendered image. (The reference
+    only ever runs at the native size — FPC/tools/dataset.py has no resize —
+    so this consistency rule is ours.)"""
+    K = INTRINSICS[dataset_name].copy()
+    K[0] *= width / IMAGE_WIDTH
+    K[1] *= height / IMAGE_HEIGHT
+    return K
+
+
 @dataclasses.dataclass(frozen=True)
 class DatasetSpec:
     """Static description of one NOCS-style dataset."""

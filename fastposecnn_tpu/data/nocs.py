@@ -237,7 +237,13 @@ class NOCSDataset:
         quats = np.asarray(meta["quaternions"], np.float32)
         scales = np.asarray(meta["scales"], np.float32)
         norm_factors = np.asarray(meta["norm_factors"], np.float32)
-        derived = extract_instance_gt(RTs, self.intrinsics)
+        # Intrinsics in the SAME pixel frame as this sample's images: the
+        # projected-center GT (and with it the dense vote-field targets and
+        # downstream RT unprojection) must live at the loaded resolution,
+        # not the native 640x480 (constants.scaled_intrinsics; identity for
+        # full-res real NOCS).
+        K = constants.scaled_intrinsics(self.dataset_name, h, w)
+        derived = extract_instance_gt(RTs, K)
 
         class_mask = np.zeros((h, w), np.int32)
         for k, (iid, cls, row) in enumerate(kept[:g]):
@@ -280,7 +286,7 @@ class NOCSDataset:
                 # Full as-designed compose (perspective + photometric) with
                 # consistent GT warping; see data/augment.py's parity note.
                 sample = A.augment_sample(
-                    sample, aug_rng, self.aug_cfg, intrinsics=self.intrinsics
+                    sample, aug_rng, self.aug_cfg, intrinsics=K
                 )
             else:
                 img = sample["image"].astype(np.float32)

@@ -108,7 +108,8 @@ def log_epoch_visualizations(
     from fastposecnn_tpu import constants
     from fastposecnn_tpu.utils import visualize as vz
 
-    intr = constants.INTRINSICS[hp.DATASET_NAME]
+    intr = constants.scaled_intrinsics(
+        hp.DATASET_NAME, hp.IMAGE_HEIGHT, hp.IMAGE_WIDTH)
     agg = out.get("aggregated")
     n = min(num_samples, batch["image"].shape[0])
     viz_dir = run_dir / "visualizations"

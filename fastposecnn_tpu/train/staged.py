@@ -111,6 +111,7 @@ def fit_staged(
     num_epochs: Optional[int] = None,
     resume_from: Optional[str] = None,
     restage_every: int = 0,
+    regen_fn=None,
     log_cb=None,
 ):
     """Device-resident counterpart of train/loop.py::fit. Returns
@@ -187,6 +188,13 @@ def fit_staged(
 
     # ---- stage the data ----
     def stage(split_epoch):
+        if regen_fn is not None and split_epoch:
+            # Regenerate the backing scenes themselves (fresh geometry, not
+            # just fresh augmentation draws): with a generative source the
+            # effective dataset is infinite, which is what defeats the
+            # 512-scene memorization observed in the round-3 ROT runs
+            # (train CE 0.27->0.06 while val climbed 2.5->3.3).
+            regen_fn(split_epoch)
         train_ds.epoch = split_epoch  # advances augmentation draws
         host_train = stage_dataset(train_ds)
         if host_train is None:
@@ -228,7 +236,16 @@ def fit_staged(
 
     for epoch in range(num_epochs or hp.NUM_EPOCHS):
         if restage_every and epoch and epoch % restage_every == 0:
+            restage_t0 = time.perf_counter()
             host_train, dev_train = stage(epoch)
+            # A regenerated split may collate to a different sample count
+            # (z<=0 scene rejection); keep the permutation plan honest.
+            n_train = host_train["image"].shape[0]
+            nb_train = n_train // batch_size
+            flog.info(
+                "restaged %d train samples at epoch %d in %.1f s",
+                n_train, epoch, time.perf_counter() - restage_t0,
+            )
 
         epoch_t0 = time.perf_counter()
         host_step0 = int(jax.device_get(state.step))

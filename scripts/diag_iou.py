@@ -60,7 +60,7 @@ state, hp = ckpt.load_checkpoint(str(RUN / "checkpoints" / __import__("os").envi
 print("checkpoint loaded, step", int(state.step))
 
 inv_K = jnp.asarray(
-    np.linalg.inv(constants.INTRINSICS[hp.DATASET_NAME]), jnp.float32
+    np.linalg.inv(constants.scaled_intrinsics(hp.DATASET_NAME, hp.IMAGE_HEIGHT, hp.IMAGE_WIDTH)), jnp.float32
 )
 
 from fastposecnn_tpu.ops.matching import gather_matched, match_instances

@@ -31,7 +31,7 @@ staged = stage_dataset(ds); n = staged["image"].shape[0]
 net = PoseRegressorNet(num_classes=hp.num_classes, encoder_name=hp.ENCODER, dtype=jnp.float32)
 state = create_train_state(net, optim.make_optimizer(hp), jax.random.key(0), hp)
 state, hp = ckpt.load_checkpoint(str(RUN / "checkpoints" / os.environ.get("DIAG_CKPT","periodic")), state, hp)
-inv_K = jnp.asarray(np.linalg.inv(constants.INTRINSICS[hp.DATASET_NAME]), jnp.float32)
+inv_K = jnp.asarray(np.linalg.inv(constants.scaled_intrinsics(hp.DATASET_NAME, hp.IMAGE_HEIGHT, hp.IMAGE_WIDTH)), jnp.float32)
 
 @jax.jit
 def fwd(state, batch, rng):

@@ -67,7 +67,7 @@ def main(argv=None):
         state, hp = ckpt.load_any_checkpoint(args.checkpoint, state, hp)
 
     pcfg = C.pipeline_config_from(hp)
-    inv_K = np.linalg.inv(constants.INTRINSICS[hp.DATASET_NAME])
+    inv_K = np.linalg.inv(constants.scaled_intrinsics(hp.DATASET_NAME, hp.IMAGE_HEIGHT, hp.IMAGE_WIDTH))
     step = jax.jit(make_train_step(net, opt, hp, pcfg, inv_K))
     db = jax.tree.map(jnp.asarray, batch)
     new_state, logs = step(state, db, jax.random.key(1))

@@ -48,6 +48,31 @@ class TestNOCSRoundtrip:
             # T back-projects near the projected origin
             np.testing.assert_allclose(agg["T"][k][2] * 1000, agg["z"][k], rtol=1e-4)
 
+    def test_gt_xy_in_image_frame_at_reduced_resolution(self, tmp_path):
+        # At a working resolution below the native 640x480 the projected
+        # center GT must land ON the rendered instance (same pixel frame as
+        # the image), not at native-frame coordinates ~2x away. Guards the
+        # round-3 scaled_intrinsics fix (constants.scaled_intrinsics): the
+        # dense vote-field targets are derived from this xy, so a frame
+        # mismatch silently poisons xy/offset training at reduced sizes.
+        cfg = SceneConfig(
+            height=224, width=320, render_pose_cues=True, max_instances=8
+        )
+        write_synthetic_nocs(tmp_path, num_samples=2, scene_cfg=cfg, seed=3)
+        ds = CAMERADataset(tmp_path, max_instances=8, normalize=False)
+        checked = 0
+        for s in (ds[0], ds[1]):
+            agg = s["agg"]
+            for k in range(int(agg["valid"].sum())):
+                ys, xs = np.nonzero(agg["instance_masks"][k])
+                centroid = np.array([xs.mean(), ys.mean()])
+                err = np.linalg.norm(agg["xy"][k] - centroid)
+                # cuboid centroid vs projected origin differ by a few px;
+                # the native-frame bug puts the center ~100+ px away.
+                assert err < 25.0, (k, agg["xy"][k], centroid)
+                checked += 1
+        assert checked >= 2
+
     def test_collate_and_none_handling(self, tmp_path):
         cfg = SceneConfig(height=60, width=80)
         write_synthetic_nocs(tmp_path, num_samples=4, scene_cfg=cfg)
