@@ -14,6 +14,7 @@ from __future__ import annotations
 import argparse
 import os
 import pathlib
+import sys
 import tempfile
 
 import numpy as np
@@ -91,13 +92,58 @@ def main(argv=None):
             tmp / "valid", max(2, args.synthetic // 4), 1, scfg
         )
 
+        # Fresh scene geometry per restage (--stage_on_device
+        # --restage_every K): a DISJOINT seed stream per bank (valid seed is
+        # 1; train seeds 0 then 2,3,...) makes the effective training set
+        # infinite so the network cannot memorize a fixed scene bank.
+        # Rendering a 1024-scene bank takes ~3 min on this host — far more
+        # than the ~1.4 s staged epochs it feeds — so banks are rendered
+        # asynchronously: a background process paints the NEXT bank into
+        # train_next/ while the chip trains on the current one, and a
+        # restage just waits (usually 0 s), swaps the files in place (same
+        # names, so the dataset's scanned paths stay valid), and kicks off
+        # the following bank.
+        import subprocess
+
+        regen = {"proc": None, "seed": 2, "log": open(tmp / "regen.log", "w")}
+
+        def _launch_bank() -> None:
+            cmd = [
+                sys.executable, "-m", "fastposecnn_tpu.data.nocs_writer",
+                "--out", str(tmp / "train_next"),
+                "--num", str(args.synthetic),
+                "--seed", str(regen["seed"]),
+                "--height", str(hp.IMAGE_HEIGHT),
+                "--width", str(hp.IMAGE_WIDTH),
+                "--num_classes", str(hp.num_classes),
+                "--max_instances", str(hp.MAX_INSTANCES),
+            ]
+            if args.synthetic_pose_cues:
+                cmd.append("--pose_cues")
+            env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
+            regen["proc"] = subprocess.Popen(
+                cmd, env=env, stdout=regen["log"], stderr=regen["log"]
+            )
+            regen["seed"] += 1
+
         def synth_regen(epoch: int) -> None:
-            # Fresh scene geometry per restage (--stage_on_device
-            # --restage_every K): overwrites the train split in place with a
-            # disjoint seed stream (valid seed is 1; train seeds 0 then
-            # 2,3,...), making the effective training set infinite so the
-            # network cannot memorize a fixed scene bank.
-            write_synthetic_nocs(tmp / "train", args.synthetic, epoch + 2, scfg)
+            if regen["proc"] is None:
+                _launch_bank()
+            if regen["proc"].wait() != 0:
+                raise RuntimeError(
+                    f"background scene-bank render failed (exit "
+                    f"{regen['proc'].returncode}); see {tmp / 'regen.log'}"
+                )
+            nxt = tmp / "train_next"
+            for f in sorted(nxt.rglob("*")):
+                if f.is_file():
+                    dest = tmp / "train" / f.relative_to(nxt)
+                    dest.parent.mkdir(parents=True, exist_ok=True)
+                    os.replace(f, dest)
+            _launch_bank()
+
+        if args.stage_on_device and args.restage_every:
+            _launch_bank()  # overlap the first bank with compile + epoch 0
     if not train_dir or not valid_dir:
         raise SystemExit(
             "No dataset: set NOCS_*_DATASET env vars, pass --train_dir/"

@@ -66,3 +66,32 @@ def write_synthetic_nocs(
         }
         pathlib.Path(f"{prefix}_meta+.json").write_text(json.dumps(meta))
     return root
+
+
+def _main(argv=None) -> None:
+    """`python -m fastposecnn_tpu.data.nocs_writer` — generate one synthetic
+    NOCS-format scene bank. Exists so trainers can regenerate the NEXT bank
+    in a background process while the chip trains on the current one
+    (cli/train.py async restaging); also handy for building fixed datasets.
+    """
+    import argparse
+
+    p = argparse.ArgumentParser(description=_main.__doc__)
+    p.add_argument("--out", required=True)
+    p.add_argument("--num", type=int, required=True)
+    p.add_argument("--seed", type=int, required=True)
+    p.add_argument("--height", type=int, default=480)
+    p.add_argument("--width", type=int, default=640)
+    p.add_argument("--num_classes", type=int, default=7)
+    p.add_argument("--max_instances", type=int, default=8)
+    p.add_argument("--pose_cues", action="store_true")
+    a = p.parse_args(argv)
+    cfg = SceneConfig(
+        height=a.height, width=a.width, num_classes=a.num_classes,
+        max_instances=a.max_instances, render_pose_cues=a.pose_cues,
+    )
+    write_synthetic_nocs(a.out, a.num, a.seed, cfg)
+
+
+if __name__ == "__main__":
+    _main()

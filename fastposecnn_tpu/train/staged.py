@@ -239,12 +239,18 @@ def fit_staged(
             restage_t0 = time.perf_counter()
             host_train, dev_train = stage(epoch)
             # A regenerated split may collate to a different sample count
-            # (z<=0 scene rejection); keep the permutation plan honest.
-            n_train = host_train["image"].shape[0]
-            nb_train = n_train // batch_size
+            # (z<=0 scene rejection). The staged arrays' leading dim is a
+            # jit input shape — letting it drift would recompile the epoch
+            # program (minutes over a remote-attached chip) — so pin it to
+            # the original count by cyclic resampling.
+            n_new = host_train["image"].shape[0]
+            if n_new != n_train:
+                idx = np.resize(np.arange(n_new), n_train)
+                host_train = jax.tree.map(lambda a: a[idx], host_train)
+                dev_train = jax.device_put(host_train)
             flog.info(
-                "restaged %d train samples at epoch %d in %.1f s",
-                n_train, epoch, time.perf_counter() - restage_t0,
+                "restaged %d train samples (%d generated) at epoch %d in %.1f s",
+                n_train, n_new, epoch, time.perf_counter() - restage_t0,
             )
 
         epoch_t0 = time.perf_counter()
