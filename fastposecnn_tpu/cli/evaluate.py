@@ -228,6 +228,12 @@ def main(argv=None):
     parser.add_argument("--valid_dir", default=None)
     parser.add_argument("--synthetic", type=int, default=0)
     parser.add_argument("--synthetic_pose_cues", action="store_true")
+    parser.add_argument(
+        "--synthetic_seed", type=int, default=999983,
+        help="scene-bank seed for --synthetic; default is disjoint from the "
+             "train CLI's stream (train banks use 0,2,3,..., its valid "
+             "split uses 1) so a held-out evaluation stays held out",
+    )
     parser.add_argument("--output", default="eval_output")
     parser.add_argument("--draw", type=int, default=0,
                         help="save comparison figures for first N batches "
@@ -274,7 +280,8 @@ def main(argv=None):
             from fastposecnn_tpu.data.synthetic import SceneConfig
 
             valid_dir = write_synthetic_nocs(
-                pathlib.Path(tempfile.mkdtemp()) / "valid", args.synthetic, 0,
+                pathlib.Path(tempfile.mkdtemp()) / "valid", args.synthetic,
+                args.synthetic_seed,
                 SceneConfig(height=hp.IMAGE_HEIGHT, width=hp.IMAGE_WIDTH,
                             num_classes=hp.num_classes,
                             max_instances=hp.MAX_INSTANCES,

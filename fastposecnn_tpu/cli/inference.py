@@ -26,6 +26,9 @@ def main(argv=None):
     parser.add_argument("--valid_dir", default=None)
     parser.add_argument("--synthetic", type=int, default=0)
     parser.add_argument("--synthetic_pose_cues", action="store_true")
+    parser.add_argument("--synthetic_seed", type=int, default=999983,
+                        help="scene-bank seed for --synthetic (disjoint "
+                             "from the train CLI's 0,2,3,... stream)")
     parser.add_argument("--output", default=None, help="dir for PNGs")
     parser.add_argument("--draw", type=int, default=20,
                         help="save figures for first N batches")
@@ -67,7 +70,8 @@ def main(argv=None):
         from fastposecnn_tpu.data.synthetic import SceneConfig
 
         valid_dir = write_synthetic_nocs(
-            pathlib.Path(tempfile.mkdtemp()) / "valid", args.synthetic, 0,
+            pathlib.Path(tempfile.mkdtemp()) / "valid", args.synthetic,
+            args.synthetic_seed,
             SceneConfig(height=hp.IMAGE_HEIGHT, width=hp.IMAGE_WIDTH,
                         num_classes=hp.num_classes,
                         max_instances=hp.MAX_INSTANCES,
