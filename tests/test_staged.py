@@ -91,3 +91,23 @@ def test_stage_dataset_roundtrip(tmp_path):
     assert staged["mask"].dtype == np.uint8
     assert staged["agg"]["instance_masks"].dtype == np.uint8
     assert "path" not in staged
+
+
+@pytest.mark.slow
+def test_staged_cli_restage_regenerates_fresh_scenes(tmp_path, monkeypatch):
+    """--restage_every with --synthetic must swap in FRESH scene geometry
+    (async double-buffered banks), not merely re-augment the same bank:
+    round 3 showed a fixed bank memorizes (train CE falls, val climbs)."""
+    monkeypatch.setenv("LOGS", str(tmp_path / "logs"))
+    from fastposecnn_tpu.cli.train import main
+
+    main([
+        "-e", "REGEN", "--preset", "MASK_TRAINING", "--synthetic", "4",
+        "--IMAGE_HEIGHT", "64", "--IMAGE_WIDTH", "64", "--BATCH_SIZE", "2",
+        "--TRAIN_SIZE", "4", "--VALID_SIZE", "2", "--MAX_INSTANCES", "4",
+        "--MAX_VOTE_POINTS", "128", "--HV_NUM_OF_HYPOTHESES", "32",
+        "--epochs", "3", "--no_tb", "--stage_on_device",
+        "--restage_every", "2",
+    ])
+    log = next((tmp_path / "logs").rglob("run.log")).read_text()
+    assert "restaged 4 train samples (4 generated) at epoch 2" in log
