@@ -94,25 +94,38 @@ def main(argv=None):
 
         # Fresh scene geometry per restage (--stage_on_device
         # --restage_every K): a DISJOINT seed stream per bank (valid seed is
-        # 1; train seeds 0 then 2,3,...) makes the effective training set
-        # infinite so the network cannot memorize a fixed scene bank.
-        # Rendering a 1024-scene bank takes ~3 min on this host — far more
-        # than the ~1.4 s staged epochs it feeds — so banks are rendered
-        # asynchronously: a background process paints the NEXT bank into
-        # train_next/ while the chip trains on the current one, and a
-        # restage just waits (usually 0 s), swaps the files in place (same
-        # names, so the dataset's scanned paths stay valid), and kicks off
-        # the following bank.
+        # 1; train banks use 0 then 2,3,...) makes the effective training
+        # set unbounded so the network cannot memorize a fixed scene bank.
+        # Rendering a 1024-scene bank takes ~3 min on this 1-core host —
+        # far more than the ~15 s of 1.4 s staged epochs between restages —
+        # so a single render can NOT feed a double-buffer without stalling.
+        # Instead the CLI keeps a rotating POOL of bank directories: each
+        # restage round-robins the dataset onto the next already-rendered
+        # bank (cost = the ~35 s re-stage read only, never a render wait)
+        # while one background process continuously renders new banks into
+        # the pool, evicting the oldest when it exceeds the cap. Freshness
+        # then tracks renderer throughput (~1 bank / 3 min) and the live
+        # diversity is cap x bank_size scenes, with zero training stalls.
+        import shutil
         import subprocess
 
-        regen = {"proc": None, "seed": 2, "log": open(tmp / "regen.log", "w")}
+        pool = {
+            "dirs": [tmp / "train"],  # rendered, ready-to-stage banks
+            "rr": 0,                  # round-robin cursor
+            "cap": 6,
+            "proc": None,
+            "render_dir": None,
+            "seed": 2,
+            "log": open(tmp / "regen.log", "w"),
+        }
 
         def _launch_bank() -> None:
+            pool["render_dir"] = tmp / f"bank_{pool['seed']}"
             cmd = [
                 sys.executable, "-m", "fastposecnn_tpu.data.nocs_writer",
-                "--out", str(tmp / "train_next"),
+                "--out", str(pool["render_dir"]),
                 "--num", str(args.synthetic),
-                "--seed", str(regen["seed"]),
+                "--seed", str(pool["seed"]),
                 "--height", str(hp.IMAGE_HEIGHT),
                 "--width", str(hp.IMAGE_WIDTH),
                 "--num_classes", str(hp.num_classes),
@@ -121,29 +134,36 @@ def main(argv=None):
             if args.synthetic_pose_cues:
                 cmd.append("--pose_cues")
             env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
-            regen["proc"] = subprocess.Popen(
-                cmd, env=env, stdout=regen["log"], stderr=regen["log"]
+            pool["proc"] = subprocess.Popen(
+                cmd, env=env, stdout=pool["log"], stderr=pool["log"]
             )
-            regen["seed"] += 1
+            pool["seed"] += 1
 
-        def synth_regen(epoch: int) -> None:
-            if regen["proc"] is None:
-                _launch_bank()
-            if regen["proc"].wait() != 0:
+        def _harvest() -> None:
+            """If the background render finished, admit its bank to the pool
+            (evicting the oldest beyond the cap) and start the next one."""
+            if pool["proc"] is None or pool["proc"].poll() is None:
+                return
+            if pool["proc"].returncode != 0:
                 raise RuntimeError(
                     f"background scene-bank render failed (exit "
-                    f"{regen['proc'].returncode}); see {tmp / 'regen.log'}"
+                    f"{pool['proc'].returncode}); see {tmp / 'regen.log'}"
                 )
-            nxt = tmp / "train_next"
-            for f in sorted(nxt.rglob("*")):
-                if f.is_file():
-                    dest = tmp / "train" / f.relative_to(nxt)
-                    dest.parent.mkdir(parents=True, exist_ok=True)
-                    os.replace(f, dest)
+            pool["dirs"].append(pool["render_dir"])
+            if len(pool["dirs"]) > pool["cap"]:
+                victim = pool["dirs"].pop(0)
+                if pool["rr"] > 0:
+                    pool["rr"] -= 1
+                shutil.rmtree(victim, ignore_errors=True)
             _launch_bank()
 
+        def synth_regen(epoch: int) -> None:
+            _harvest()
+            pool["rr"] = (pool["rr"] + 1) % len(pool["dirs"])
+            train_ds.repoint(pool["dirs"][pool["rr"]])
+
         if args.stage_on_device and args.restage_every:
-            _launch_bank()  # overlap the first bank with compile + epoch 0
+            _launch_bank()  # start filling the pool during compile + epoch 0
     if not train_dir or not valid_dir:
         raise SystemExit(
             "No dataset: set NOCS_*_DATASET env vars, pass --train_dir/"

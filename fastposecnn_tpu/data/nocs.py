@@ -127,7 +127,16 @@ class NOCSDataset:
         self.aug_seed = aug_seed
         self.aug_cfg = aug_cfg
         self.epoch = 0
+        self.max_size = max_size
         self.images_fps = self._scan(self.dataset_dir, max_size)
+
+    def repoint(self, dataset_dir) -> None:
+        """Point the dataset at a different directory tree (same NOCS
+        format) and rescan the file list. Used by the train CLI's rotating
+        synthetic bank pool to swap fresh scene banks between staged
+        epochs without rebuilding the dataset object."""
+        self.dataset_dir = pathlib.Path(dataset_dir)
+        self.images_fps = self._scan(self.dataset_dir, self.max_size)
 
     def _read_image(self, fp, index: int = 0) -> np.ndarray:
         """Decode and augment (pre-normalization, FPC dataset.py:242-257)
