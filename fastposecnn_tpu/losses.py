@@ -324,8 +324,18 @@ def dense_supervision(
         return jnp.sum(err * fg) / jnp.maximum(jnp.sum(fg), 1.0)
 
     if weights.get("quaternion"):
+        # Symmetric classes (bowl/can/bottle) admit a continuum of
+        # equivalent rotations; painting ONE canonical GT quat over their
+        # pixels would supervise toward an arbitrary representative and
+        # fight the (symmetry-aware) matched QLoss. Dense quat supervision
+        # therefore covers non-symmetric instances only.
+        nonsym = 1.0 - agg["symmetric_ids"].astype(jnp.float32)
+        inst_q = inst * nonsym[..., None, None]
+        fg_q = jnp.sum(inst_q, axis=1)
         pred = _gt_class_select(logits["quaternion"], gt_mask, 4)
-        loss = masked_l1(pred, paint(agg["quaternion"]))
+        target = jnp.einsum("bnhw,bnd->bhwd", inst_q, agg["quaternion"])
+        err = jnp.sum(jnp.abs(pred - target), axis=-1)
+        loss = jnp.sum(err * fg_q) / jnp.maximum(jnp.sum(fg_q), 1.0)
         logs["quaternion/loss_dense"] = loss
         total = total + weights["quaternion"] * loss
 

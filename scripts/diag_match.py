@@ -16,7 +16,10 @@ from fastposecnn_tpu.train.task import create_train_state, upcast_batch
 from fastposecnn_tpu.ops.matching import mask_iou_matrix
 from fastposecnn_tpu.pipeline import run_pipeline
 
-RUN = pathlib.Path("logs/26-08-17/10-45-ROT3_FULL2-PoseRegressor-CAMERA-resnet18-imagenet")
+RUN = pathlib.Path(os.environ.get(
+    "DIAG_RUN",
+    "logs/26-08-17/10-45-ROT3_FULL2-PoseRegressor-CAMERA-resnet18-imagenet",
+))
 hp = HParams.load(RUN / "HPARAM.json"); hp.BATCH_SIZE = 8
 pcfg = pipeline_config_from(hp)
 scfg = SceneConfig(height=hp.IMAGE_HEIGHT, width=hp.IMAGE_WIDTH,

@@ -211,3 +211,23 @@ class TestDenseSupervision:
         bad = {k: (v + 3.0 if k != "mask" else v) for k, v in logits.items()}
         total, _ = L.dense_supervision(bad, gt_mask, agg, self.WEIGHTS)
         assert float(total) == 0.0
+
+    def test_symmetric_instances_excluded_from_dense_quat(self):
+        # Symmetric classes admit a continuum of equivalent rotations; the
+        # dense quat term must not supervise toward one arbitrary
+        # representative (the matched QLoss handles symmetry properly).
+        logits, gt_mask, agg = self._scene_batch()
+        agg = dict(agg)
+        agg["symmetric_ids"] = jnp.ones_like(agg["symmetric_ids"])
+        bad = dict(logits)
+        bad["quaternion"] = logits["quaternion"] + 3.0
+        _, logs = L.dense_supervision(
+            bad, gt_mask, agg, {"quaternion": 1.0}
+        )
+        assert float(logs["quaternion/loss_dense"]) == 0.0
+        # ...and still supervises when instances are non-symmetric.
+        agg["symmetric_ids"] = jnp.zeros_like(agg["symmetric_ids"])
+        _, logs = L.dense_supervision(
+            bad, gt_mask, agg, {"quaternion": 1.0}
+        )
+        assert float(logs["quaternion/loss_dense"]) > 0.5
