@@ -58,7 +58,21 @@ def _quat_random(rng) -> np.ndarray:
     return q / np.linalg.norm(q)
 
 
-def _raycast_box(R, T_m, half, intr, h, w, stripe_freq=0):
+# Well-separated RGB tints for classes 1..6 (bg has none).
+_CLASS_TINTS = np.asarray(
+    [
+        [1.0, 0.1, 0.1],
+        [0.1, 1.0, 0.1],
+        [0.15, 0.25, 1.0],
+        [1.0, 1.0, 0.1],
+        [1.0, 0.1, 1.0],
+        [0.1, 1.0, 1.0],
+    ],
+    np.float32,
+)
+
+
+def _raycast_box(R, T_m, half, intr, h, w, stripe_freq=0, tint=None):
     """Ray-cast one oriented box; returns (hit [H,W] bool, rgb [H,W,3],
     depth_m [H,W]).
 
@@ -108,12 +122,20 @@ def _raycast_box(R, T_m, half, intr, h, w, stripe_freq=0):
     rgb_r = np.clip(p_obj / (2 * half) + 0.5, 0.0, 1.0)
     if stripe_freq:
         # Multiplicative stripes keep the low-frequency NOCS gradient (the
-        # rotation cue) while the stripe count encodes the class — and,
-        # being an object-space pattern, doubles as extra pose texture.
+        # rotation cue) while adding an object-space pattern that doubles
+        # as extra pose texture (stripe count varies per class too).
         u = p_obj[..., 0] / (2 * half[0]) + 0.5
         rgb_r = rgb_r * (
             0.75 + 0.25 * np.cos(2 * np.pi * stripe_freq * u)
         )[..., None]
+    if tint is not None:
+        # Constant class tint BLENDED over the gradient: stripe counts
+        # alone proved unlearnable as a class signature on held-out scenes
+        # (round-3 diag: 56/68 instances best-overlap-matched with the
+        # WRONG class after 225 mask epochs), while a global color is
+        # scale/rotation/distance invariant. 60% gradient keeps the
+        # orientation cue in every channel.
+        rgb_r = 0.5 * rgb_r + 0.5 * np.asarray(tint, np.float32)
 
     hit = np.zeros((h, w), bool)
     rgb = np.zeros((h, w, 3), np.float32)
@@ -171,11 +193,13 @@ def _generate_scene_raycast(
         cls = int(rng.integers(1, cfg.num_classes))
         z_m = inst_z / 1000.0
         T_m = inv_intr @ np.asarray([cx * z_m, cy * z_m, z_m])
-        # Class -> stripe count (class c renders c+1 object-space stripe
-        # periods): without a visual class signature the mask head cannot
-        # classify unseen boxes and class-aware matching collapses.
+        # Class signature: a distinct constant tint per class (blended over
+        # the NOCS gradient) + class-coded stripe count as texture. Without
+        # an invariant visual class signature the mask head cannot classify
+        # unseen boxes and class-aware matching collapses.
         cast = _raycast_box(R, T_m, inst_scales / 2.0, intr, h, w,
-                            stripe_freq=cls + 1)
+                            stripe_freq=cls + 1,
+                            tint=_CLASS_TINTS[(cls - 1) % len(_CLASS_TINTS)])
         if cast is None:
             continue
         hit, rgb, depth = cast

@@ -21,6 +21,10 @@ RUN = pathlib.Path(os.environ.get(
     "logs/26-08-17/10-45-ROT3_FULL2-PoseRegressor-CAMERA-resnet18-imagenet",
 ))
 hp = HParams.load(RUN / "HPARAM.json"); hp.BATCH_SIZE = 8
+# Force the full pipeline on so mask-stage checkpoints can be probed too.
+for f in ("PERFORM_AGGREGATION", "PERFORM_HOUGH_VOTING",
+          "PERFORM_RT_CALCULATION", "PERFORM_MATCHING"):
+    setattr(hp, f, True)
 pcfg = pipeline_config_from(hp)
 scfg = SceneConfig(height=hp.IMAGE_HEIGHT, width=hp.IMAGE_WIDTH,
                    num_classes=hp.num_classes, max_instances=hp.MAX_INSTANCES,
