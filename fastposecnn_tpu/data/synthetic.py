@@ -55,7 +55,14 @@ class SceneConfig:
 
 def _quat_random(rng) -> np.ndarray:
     q = rng.normal(size=4)
-    return q / np.linalg.norm(q)
+    q = q / np.linalg.norm(q)
+    # Canonical hemisphere (largest-|component| positive). Real NOCS GT
+    # quats come from deterministic matrix->quat conversion and are
+    # sign-consistent; uniform-on-S3 draws are not, which makes any
+    # sign-sensitive regression target an unlearnable coin flip (q vs -q
+    # render identically). See geometry.quat_canonical.
+    pivot = q[np.argmax(np.abs(q))]
+    return q if pivot >= 0 else -q
 
 
 # Well-separated RGB tints for classes 1..6 (bg has none).

@@ -70,6 +70,22 @@ def dehomogenize(points: jax.Array) -> jax.Array:
 # Quaternions (xyzw storage order)
 
 
+def quat_canonical(q: jax.Array) -> jax.Array:
+    """Flip each quaternion to the hemisphere where its largest-magnitude
+    component is positive. q and -q encode the same rotation, so any
+    REGRESSION target (as opposed to the sign-invariant QLoss/degree
+    metrics) must live on one deterministic hemisphere: with random-sign
+    targets the same appearance is labelled +q half the time and -q the
+    other half, and the L1/L2-optimal field is ~0 — this exact failure
+    held the dense-supervised rotation pathway at a ~49 deg plateau for
+    100+ epochs (round 3). Max-abs-component (not w>=0) keeps the pivot
+    component >= 0.5 in magnitude, far from its own sign boundary."""
+    comp = jnp.take_along_axis(
+        q, jnp.argmax(jnp.abs(q), axis=-1, keepdims=True), axis=-1
+    )
+    return q * jnp.where(comp >= 0, 1.0, -1.0)
+
+
 def quat_to_rotmat(q: jax.Array) -> jax.Array:
     """Batched quaternion (xyzw) -> rotation matrix [..., 3, 3].
 

@@ -333,7 +333,14 @@ def dense_supervision(
         inst_q = inst * nonsym[..., None, None]
         fg_q = jnp.sum(inst_q, axis=1)
         pred = _gt_class_select(logits["quaternion"], gt_mask, 4)
-        target = jnp.einsum("bnhw,bnd->bhwd", inst_q, agg["quaternion"])
+        # q and -q are the same rotation but DIFFERENT regression targets:
+        # canonicalize the hemisphere (geometry.quat_canonical) or the
+        # same appearance gets opposite-sign labels and the optimal dense
+        # field collapses to ~0 (the round-3 ~49 deg rotation plateau).
+        target = jnp.einsum(
+            "bnhw,bnd->bhwd", inst_q,
+            geometry.quat_canonical(agg["quaternion"]),
+        )
         err = jnp.sum(jnp.abs(pred - target), axis=-1)
         loss = jnp.sum(err * fg_q) / jnp.maximum(jnp.sum(fg_q), 1.0)
         logs["quaternion/loss_dense"] = loss

@@ -212,6 +212,38 @@ class TestDenseSupervision:
         total, _ = L.dense_supervision(bad, gt_mask, agg, self.WEIGHTS)
         assert float(total) == 0.0
 
+    def test_dense_quat_target_is_sign_canonical(self):
+        # q and -q encode the same rotation; the dense L1 target must be
+        # invariant to the stored GT hemisphere or the same appearance
+        # gets opposite-sign labels and the optimal field collapses to ~0
+        # (the round-3 ~49 deg rotation plateau). Flipping every GT quat
+        # sign must not change the loss.
+        logits, gt_mask, agg = self._scene_batch()
+        agg = dict(agg)
+        agg["symmetric_ids"] = jnp.zeros_like(agg["symmetric_ids"])
+        bad = dict(logits)
+        bad["quaternion"] = logits["quaternion"] + 0.7
+        _, logs_pos = L.dense_supervision(bad, gt_mask, agg,
+                                          {"quaternion": 1.0})
+        flipped = dict(agg)
+        flipped["quaternion"] = -agg["quaternion"]
+        _, logs_neg = L.dense_supervision(bad, gt_mask, flipped,
+                                          {"quaternion": 1.0})
+        np.testing.assert_allclose(
+            float(logs_pos["quaternion/loss_dense"]),
+            float(logs_neg["quaternion/loss_dense"]), rtol=1e-6,
+        )
+        assert float(logs_pos["quaternion/loss_dense"]) > 0.1
+
+    def test_quat_random_is_canonical_hemisphere(self):
+        from fastposecnn_tpu.data.synthetic import _quat_random
+
+        rng = np.random.default_rng(3)
+        for _ in range(64):
+            q = _quat_random(rng)
+            assert q[np.argmax(np.abs(q))] >= 0
+            np.testing.assert_allclose(np.linalg.norm(q), 1.0, atol=1e-6)
+
     def test_symmetric_instances_excluded_from_dense_quat(self):
         # Symmetric classes admit a continuum of equivalent rotations; the
         # dense quat term must not supervise toward one arbitrary
