@@ -368,11 +368,13 @@ def fit_staged(
                 )
                 best_state = None  # flushed
         train_means = {
-            k.split("/")[-1]: float(np.mean(v))
+            ("d_" + k.split("/")[0] if k.endswith("loss_dense")
+             else k.split("/")[-1]): float(np.mean(v))
             for k, v in step_logs_h.items()
             if k in ("quaternion/loss_quat", "xy/loss_xy", "z/loss_z",
                      "scales/loss_scales", "mask/loss_ce",
-                     "pose/num_matched")
+                     "pose/num_matched", "quaternion/loss_dense",
+                     "xy/loss_dense", "z/loss_dense", "scales/loss_dense")
         }
         msg = (
             f"epoch {epoch}: val_loss={val_loss:.4f} "
