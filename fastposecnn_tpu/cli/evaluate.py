@@ -80,6 +80,7 @@ def collect_raw_errors(hp, valid_loader, state, net, pcfg, inv_K,
     raw = {
         "3d_iou": {c: [] for c in range(1, num_classes)},
         "degree_error": {c: [] for c in range(1, num_classes)},
+        "degree_error_geodesic": {c: [] for c in range(1, num_classes)},
         "offset_error": {c: [] for c in range(1, num_classes)},
     }
     from fastposecnn_tpu.train.loop import _pad_batch, _to_device_batch
@@ -106,6 +107,13 @@ def collect_raw_errors(hp, valid_loader, state, net, pcfg, inv_K,
             matched["pred_quaternion"][:n_real],
             matched["symmetric_ids"][:n_real],
         )
+        # TRUE rotation angle alongside the reference's chord-as-radians
+        # parity metric (which reads random predictions as ~49 deg).
+        deg_geo = eval_host.geodesic_quat_distance_deg(
+            matched["gt_quaternion"][:n_real],
+            matched["pred_quaternion"][:n_real],
+            matched["symmetric_ids"][:n_real],
+        )
         iou = eval_host.asymmetric_3d_iou(
             matched["gt_RT"][:n_real],
             matched["pred_RT"][:n_real],
@@ -119,6 +127,7 @@ def collect_raw_errors(hp, valid_loader, state, net, pcfg, inv_K,
         for c in range(1, num_classes):
             sel = valid & (cls == c)
             raw["degree_error"][c].append(deg[sel])
+            raw["degree_error_geodesic"][c].append(deg_geo[sel])
             raw["3d_iou"][c].append(iou[sel])
             raw["offset_error"][c].append(off[sel])
 
@@ -169,14 +178,17 @@ def compute_aps(raw, class_names):
     figure_thresholds = {
         "3d_iou": np.linspace(0, 1, APS_NUM_OF_POINTS),
         "degree_error": np.linspace(0, 60, APS_NUM_OF_POINTS),
+        "degree_error_geodesic": np.linspace(0, 60, APS_NUM_OF_POINTS),
         "offset_error": np.linspace(0, 10, APS_NUM_OF_POINTS),
     }
     table_thresholds = {
         "3d_iou": np.asarray([0.25, 0.50]),
         "degree_error": np.asarray([5.0, 10.0]),
+        "degree_error_geodesic": np.asarray([5.0, 10.0]),
         "offset_error": np.asarray([5.0, 10.0]),
     }
-    greater = {"3d_iou": True, "degree_error": False, "offset_error": False}
+    greater = {"3d_iou": True, "degree_error": False,
+               "degree_error_geodesic": False, "offset_error": False}
 
     def build(thresholds):
         aps = {}
@@ -354,8 +366,10 @@ def main(argv=None):
     fig = plot_aps(
         figure_aps, fig_thr,
         titles={"3d_iou": "3D Iou AP", "degree_error": "Rotation AP",
+                "degree_error_geodesic": "Rotation AP (geodesic)",
                 "offset_error": "Translation AP"},
         x_labels={"3d_iou": "3D IoU %", "degree_error": "Rotation error/degree",
+                  "degree_error_geodesic": "True rotation error/degree",
                   "offset_error": "Translation error/cm"},
         cls_names=plot_names,
     )
@@ -373,6 +387,17 @@ def main(argv=None):
         f"5d5cm={100*mean_joint[0]:.2f} 10d5cm={100*mean_joint[1]:.2f} "
         f"10d10cm={100*mean_joint[2]:.2f}"
     )
+    if "degree_error_geodesic" in raw:
+        all_geo = np.concatenate(
+            [v for v in raw["degree_error_geodesic"].values()]
+        )
+        all_deg = np.concatenate([v for v in raw["degree_error"].values()])
+        if all_geo.size:
+            print(
+                f"rotation mean: geodesic={all_geo.mean():.1f} deg "
+                f"(median {np.median(all_geo):.1f}) | "
+                f"parity-chord={all_deg.mean():.1f} deg"
+            )
 
 
 if __name__ == "__main__":

@@ -67,6 +67,28 @@ def quat_distance_deg(
     return out
 
 
+def geodesic_quat_distance_deg(
+    q0: np.ndarray, q1: np.ndarray, symmetric: np.ndarray,
+    num_steps: int = 360,
+) -> np.ndarray:
+    """f64 mirror of geometry.geodesic_quat_distance_deg (TRUE rotation
+    angle; the parity metric above reads chord length as radians and
+    understates large errors — random predictions read as ~49 deg)."""
+    q0 = np.asarray(q0, np.float64)
+    q1 = np.asarray(q1, np.float64)
+
+    def angle(dot):
+        return np.rad2deg(2.0 * np.arccos(np.clip(np.abs(dot), 0.0, 1.0)))
+
+    raw = angle(np.sum(q0 * q1, axis=-1))
+    rot_q = _symmetry_rotation_quats(num_steps)
+    rot_q1 = _quat_multiply_wxyz(q1[..., None, :], rot_q)
+    sym = np.min(angle(np.sum(q0[..., None, :] * rot_q1, axis=-1)), axis=-1)
+    out = np.where(np.asarray(symmetric) != 0, sym, raw)
+    assert out.dtype == np.float64
+    return out
+
+
 _UNIT_BBOX = (
     np.array(
         [

@@ -231,6 +231,30 @@ def quat_distance_deg(
     return jnp.where(symmetric != 0, sym, raw)
 
 
+def geodesic_quat_distance_deg(
+    q0: jax.Array, q1: jax.Array, symmetric: jax.Array, num_steps: int = 360
+) -> jax.Array:
+    """TRUE rotation angle between quaternions, in degrees (beyond-parity).
+
+    The reference metric above reads the quaternion CHORD length as radians
+    (gpu_tensor_funcs.py:435-456) — at large errors it badly understates
+    the rotation angle (completely random predictions read as ~49 deg, not
+    ~127 deg). Kept for parity in `quat_distance_deg`; this geodesic
+    2*acos(|<q0,q1>|) (with the same min-over-y-rotations for symmetric
+    instances) is reported alongside it so convergence claims are honest.
+    """
+    def angle(dot):
+        return jnp.rad2deg(
+            2.0 * jnp.arccos(jnp.clip(jnp.abs(dot), 0.0, 1.0 - 1e-7))
+        )
+
+    raw = angle(jnp.sum(q0 * q1, axis=-1))
+    rot_q = jnp.asarray(_symmetry_rotation_quats(num_steps, str(q0.dtype)))
+    rot_q1 = quat_multiply_wxyz(q1[..., None, :], rot_q)
+    sym = jnp.min(angle(jnp.sum(q0[..., None, :] * rot_q1, axis=-1)), axis=-1)
+    return jnp.where(symmetric != 0, sym, raw)
+
+
 # -----------------------------------------------------------------------------
 # Rigid transforms / RT reconstruction
 

@@ -74,6 +74,20 @@ def update_degree_error_mean(state: State, matched: Dict[str, Array]) -> State:
     return _accumulate(state, d, d, matched["valid"])
 
 
+def update_degree_error_geodesic(
+    state: State, matched: Dict[str, Array]
+) -> State:
+    """True mean rotation angle (beyond-parity; see
+    geometry.geodesic_quat_distance_deg — the reference's chord-as-radians
+    metric reads random predictions as ~49 deg)."""
+    d = geometry.geodesic_quat_distance_deg(
+        matched["gt_quaternion"],
+        matched["pred_quaternion"],
+        matched["symmetric_ids"],
+    )
+    return _accumulate(state, d, d, matched["valid"])
+
+
 def update_iou3d_ap(
     state: State, matched: Dict[str, Array], threshold: float,
     fpc_compat: bool = False,
@@ -156,6 +170,7 @@ def mask_scores(
 def init_pose_metric_bank() -> Dict[str, State]:
     return {
         "degree_error": zeros_state(),
+        "degree_error_geodesic": zeros_state(),
         "degree_error_AP_5": zeros_state(),
         "iou_3d_mAP_0.25": zeros_state(),
         "iou_3d_accuracy": zeros_state(),
@@ -169,6 +184,9 @@ def update_pose_metric_bank(
 ) -> Dict[str, State]:
     return {
         "degree_error": update_degree_error_mean(bank["degree_error"], matched),
+        "degree_error_geodesic": update_degree_error_geodesic(
+            bank["degree_error_geodesic"], matched
+        ),
         "degree_error_AP_5": update_degree_error_ap(
             bank["degree_error_AP_5"], matched, 5.0
         ),
@@ -184,6 +202,7 @@ def update_pose_metric_bank(
 def compute_pose_metric_bank(bank: Dict[str, State]) -> Dict[str, Array]:
     return {
         "degree_error": mean(bank["degree_error"]),
+        "degree_error_geodesic": mean(bank["degree_error_geodesic"]),
         "degree_error_AP_5": ratio(bank["degree_error_AP_5"]),
         "iou_3d_mAP_0.25": ratio(bank["iou_3d_mAP_0.25"]),
         "iou_3d_accuracy": mean(bank["iou_3d_accuracy"]),

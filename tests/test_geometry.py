@@ -165,6 +165,41 @@ class TestQuatDistance:
         np.testing.assert_allclose(np.asarray(d[0]), np.asarray(raw[0]))
         np.testing.assert_allclose(np.asarray(d[1]), np.asarray(symd[1]))
 
+    def test_geodesic_is_true_rotation_angle(self):
+        import scipy.spatial.transform as sst
+
+        # A known 73-deg rotation about an arbitrary axis reads as exactly
+        # 73 deg geodesic, sign-invariantly; the parity chord metric reads
+        # 2*sin(73/2 deg) rad = ~36 deg for the same pair.
+        axis = np.asarray([0.3, -0.8, 0.52]); axis /= np.linalg.norm(axis)
+        q0 = sst.Rotation.identity().as_quat()
+        q1 = sst.Rotation.from_rotvec(np.deg2rad(73.0) * axis).as_quat()
+        zero = jnp.zeros((1,), jnp.int32)
+        geo = geometry.geodesic_quat_distance_deg(
+            jnp.asarray(q0)[None], jnp.asarray(q1)[None], zero)
+        np.testing.assert_allclose(float(geo[0]), 73.0, atol=0.01)
+        geo_neg = geometry.geodesic_quat_distance_deg(
+            jnp.asarray(q0)[None], -jnp.asarray(q1)[None], zero)
+        np.testing.assert_allclose(float(geo_neg[0]), 73.0, atol=0.01)
+        chord = geometry.quat_distance_deg(
+            jnp.asarray(q0)[None], jnp.asarray(q1)[None], zero)
+        # chord between q0,q1 on S3 subtending theta/2: 2*sin(theta/4)
+        expect_chord = np.rad2deg(2 * np.sin(np.deg2rad(73.0) / 4))
+        np.testing.assert_allclose(float(chord[0]), expect_chord, atol=0.5)
+
+    def test_geodesic_host_mirror_matches(self, rng):
+        from fastposecnn_tpu import eval_host
+
+        q0 = random_quats(rng, 8)
+        q1 = random_quats(rng, 8)
+        sym = np.asarray([0, 1] * 4)
+        dev = np.asarray(geometry.geodesic_quat_distance_deg(
+            jnp.asarray(q0), jnp.asarray(q1), jnp.asarray(sym)))
+        host = eval_host.geodesic_quat_distance_deg(q0, q1, sym)
+        np.testing.assert_allclose(dev, host, atol=0.05)
+        # symmetric slots are reduced by the y-rotation min
+        assert (host[sym == 1] <= host.max() + 1e-9).all()
+
 
 class TestAP:
     def test_calculate_ap(self):
