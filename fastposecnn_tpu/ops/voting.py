@@ -529,6 +529,10 @@ def refine_centers(
     w = lax.stop_gradient(_inlier_mask(win, lax.stop_gradient(pts),
                                        lax.stop_gradient(dirs), pvalid,
                                        inlier_thresh))
+    # Gradient-opaque (see refine_centers_dense): the LSQ-solve backward
+    # explodes on near-singular inlier geometry and was measured swamping
+    # the dense field signal by 217x (l2) / 37000x (max element).
+    dirs = lax.stop_gradient(dirs)
     n = jnp.stack([dirs[..., 1], -dirs[..., 0]], axis=-1)  # [M, P, 2]
     bvec = jnp.sum(n * pts, axis=-1)  # [M, P]
     nw = n * w[..., None]
@@ -550,10 +554,23 @@ def refine_centers_dense(
     is every foreground pixel. Gather-free: the inlier weight is a dense
     [B, N, HW] tensor (stop-gradient, like the reference's masked_select
     index set) and the five normal-equation sums are ONE [N, HW] x [HW, 5]
-    matmul per image, so the backward w.r.t. the dense field is elementwise
-    — no scatter-add (which lowers to a sort on TPU and cost ~1.3 ms/step
-    in the stage-2 training profile).
+    matmul per image.
+
+    DELIBERATE DEVIATION — gradient-opaque in the field. The reference's
+    final LSQ is differentiable (ransac_voting_gpu.py:583-600 builds it
+    from autograd-tracked tensors and b_inv = torch.inverse), so its
+    matched XYLoss backprops through the 2x2 inverse; near-singular inlier
+    geometry makes that Jacobian explode. Measured on a trained round-3
+    checkpoint (scripts/diag_xygrad.py): the weighted matched-xy gradient
+    into the dense field was 217x the dense-supervision signal in l2 and
+    37,000x at max element — effectively noise that drove the field WORSE
+    than a zero field (dense xy L1 4.2 vs 1.27 for zeros) and polluted the
+    shared translation decoder and encoder. PVNet itself (whose voting
+    this is) trains the vertex field DENSELY and never differentiates
+    through RANSAC; we follow PVNet: voting consumes the field, gradients
+    come from dense_supervision.
     """
+    field = lax.stop_gradient(field)  # see docstring: PVNet-style opacity
     b, n, h, w_ = masks.shape
     hw = h * w_
     # Pixel coordinate grid, (x, y) like sample_mask_points.

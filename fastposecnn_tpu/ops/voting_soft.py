@@ -171,6 +171,11 @@ def soft_vote_centers(
     """Full soft-voting path. Returns (centers [M, 2],
     raw hypotheses [M, H, 2], pruned hypotheses [M, H, 2]) — the raw/pruned
     pair feeds the hough visualization (FPC hough_voting.py:61 keys)."""
+    # Gradient-opaque like ops.voting.refine_centers_dense (see its
+    # docstring): hypothesis 2x2 solves explode near-singular; vote
+    # fields train via dense_supervision, not through voting.
+    pts = jax.lax.stop_gradient(pts)
+    dirs = jax.lax.stop_gradient(dirs)
     m, p, _ = pts.shape
     if pt_valid is None:
         pt_valid = jnp.ones((m, p), bool)

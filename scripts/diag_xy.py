@@ -45,6 +45,9 @@ inv_K = jnp.asarray(
         hp.DATASET_NAME, hp.IMAGE_HEIGHT, hp.IMAGE_WIDTH)), jnp.float32)
 
 
+from fastposecnn_tpu import losses as L
+
+
 @jax.jit
 def fwd(state, batch, rng):
     batch = upcast_batch(batch)
@@ -53,7 +56,18 @@ def fwd(state, batch, rng):
         batch["image"], train=False)
     out = run_pipeline(logits, rng, pcfg, inv_K)
     match = match_instances(out["aggregated"], batch["agg"])
-    return gather_matched(out["aggregated"], batch["agg"], match)
+    matched = gather_matched(out["aggregated"], batch["agg"], match)
+    # Dense-field forensics: raw quat field magnitude over GT fg pixels
+    # (the sign-collapse failure mode reads as |field| ~ 0) + dense L1s.
+    _, dlogs = L.dense_supervision(
+        logits, batch["mask"], batch["agg"],
+        {"quaternion": 1.0, "xy": 1.0, "z": 1.0, "scales": 1.0})
+    qf = L._gt_class_select(logits["quaternion"], batch["mask"], 4)
+    fg = (batch["mask"] > 0).astype(jnp.float32)
+    qmag = jnp.sum(jnp.linalg.norm(qf, axis=-1) * fg) / jnp.maximum(
+        jnp.sum(fg), 1.0)
+    dlogs = dict(dlogs, quat_field_norm=qmag)
+    return matched, dlogs
 
 
 rng = jax.random.key(0)
@@ -63,7 +77,10 @@ for b0 in range(0, n - n % B, B):
     idxs = np.arange(b0, b0 + B, dtype=np.int32)
     batch = _gather_batch(jax.device_put(staged), idxs,
                           jnp.ones((B,), jnp.float32))
-    m = jax.device_get(fwd(state, batch, rng))
+    m, dlogs = jax.device_get(fwd(state, batch, rng))
+    if b0 == 0:
+        print("dense:", {k.split("/")[0]: round(float(v), 3)
+                         for k, v in dlogs.items()})
     v = m["valid"].astype(bool)
     for b, g in zip(*np.nonzero(v)):
         gxy, pxy = m["gt_xy"][b, g], m["pred_xy"][b, g]

@@ -168,7 +168,12 @@ class TestRansacCenter:
         )
         np.testing.assert_array_equal(np.asarray(centers[0]), 0.0)
 
-    def test_gradient_flows_through_refinement(self):
+    def test_voting_is_gradient_opaque(self):
+        # Deliberate deviation (see refine_centers_dense docstring): the
+        # LSQ backward explodes near-singular and was measured swamping
+        # the dense field supervision by 217x l2 / 37000x max-element.
+        # Vote fields train densely (PVNet-style); voting contributes NO
+        # gradient.
         center = (11.0, 8.0)
         mask, field = make_instance(center=center)
         pts, dirs, npts, ptv = sample_mask_points(
@@ -188,8 +193,7 @@ class TestRansacCenter:
             return jnp.sum(c**2)
 
         g = jax.grad(loss)(dirs.reshape(1, 128, 2))
-        assert np.isfinite(np.asarray(g)).all()
-        assert float(jnp.sum(jnp.abs(g))) > 0
+        np.testing.assert_array_equal(np.asarray(g), 0.0)
 
 
 class TestHoughVote:
@@ -239,12 +243,10 @@ class TestDenseRefinement:
             c = refine_centers_dense(win, masks, f, 0.999)
             return jnp.sum(c**2)
 
+        # Gradient-opaque by design (see refine_centers_dense docstring):
+        # fields train via dense_supervision, not through the LSQ solve.
         g = jax.grad(loss)(dense)
-        assert np.isfinite(np.asarray(g)).all()
-        assert float(jnp.sum(jnp.abs(g))) > 0
-        # gradient confined to the instance mask (weights stop-gradient)
-        outside = np.asarray(g[0])[np.asarray(mask) == 0]
-        np.testing.assert_array_equal(outside, 0.0)
+        np.testing.assert_array_equal(np.asarray(g), 0.0)
 
     def test_hough_vote_uses_dense_refinement(self):
         # identical center recovery through the full hough_vote wrapper
