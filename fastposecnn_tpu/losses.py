@@ -286,9 +286,13 @@ def _gt_class_select(field: Array, gt_mask: Array, k: int) -> Array:
                             dtype=field.dtype)
     chan_class, G = _field_maps(cm1, k)
     masked = field * onehot[..., jnp.asarray(chan_class)]
+    # HIGHEST: default TPU matmul precision would truncate the selected
+    # field values to bf16 (same hazard as ops/matching.py gather_matched);
+    # k and C are tiny so the exact pass costs nothing.
     return jnp.einsum(
         "bhwd,dk->bhwk", masked, jnp.asarray(G, field.dtype),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 
@@ -317,7 +321,11 @@ def dense_supervision(
     fg = jnp.sum(inst, axis=1)  # [B, H, W] (instances are disjoint)
 
     def paint(values: Array) -> Array:  # [B, N, D] -> [B, H, W, D]
-        return jnp.einsum("bnhw,bnd->bhwd", inst, values)
+        # HIGHEST: bf16 operand truncation at default precision would put
+        # ~ulp(target) noise INTO the dense GT targets (log-z ~ 7.0 has
+        # bf16 ulp ~ 0.027 — a floor on the achievable dense z loss).
+        return jnp.einsum("bnhw,bnd->bhwd", inst, values,
+                          precision=jax.lax.Precision.HIGHEST)
 
     def masked_l1(pred: Array, target: Array) -> Array:
         err = jnp.sum(jnp.abs(pred - target), axis=-1)  # sum over components
@@ -340,6 +348,7 @@ def dense_supervision(
         target = jnp.einsum(
             "bnhw,bnd->bhwd", inst_q,
             geometry.quat_canonical(agg["quaternion"]),
+            precision=jax.lax.Precision.HIGHEST,
         )
         err = jnp.sum(jnp.abs(pred - target), axis=-1)
         loss = jnp.sum(err * fg_q) / jnp.maximum(jnp.sum(fg_q), 1.0)
