@@ -200,6 +200,23 @@ class TestQuatDistance:
         # symmetric slots are reduced by the y-rotation min
         assert (host[sym == 1] <= host.max() + 1e-9).all()
 
+    def test_quat_canonical(self, rng):
+        q = jnp.asarray(random_quats(rng, 32))
+        c = geometry.quat_canonical(q)
+        c_neg = geometry.quat_canonical(-q)
+        # sign-invariant: q and -q map to the same representative
+        np.testing.assert_allclose(np.asarray(c), np.asarray(c_neg))
+        # idempotent, rotation-preserving, pivot >= 0
+        np.testing.assert_allclose(
+            np.asarray(geometry.quat_canonical(c)), np.asarray(c))
+        np.testing.assert_allclose(
+            np.asarray(geometry.quat_to_rotmat(c)),
+            np.asarray(geometry.quat_to_rotmat(q)), atol=1e-6)
+        piv = np.take_along_axis(
+            np.asarray(c), np.argmax(np.abs(np.asarray(c)), -1, keepdims=True), -1
+        )
+        assert (piv >= 0.5 / np.sqrt(4)).all()  # max |comp| >= 1/sqrt(4)
+
 
 class TestAP:
     def test_calculate_ap(self):
