@@ -164,6 +164,9 @@ def main(argv=None):
 
         if args.stage_on_device and args.restage_every:
             _launch_bank()  # start filling the pool during compile + epoch 0
+        bank_pool = pool
+    else:
+        bank_pool = None
     if not train_dir or not valid_dir:
         raise SystemExit(
             "No dataset: set NOCS_*_DATASET env vars, pass --train_dir/"
@@ -218,6 +221,11 @@ def main(argv=None):
             enable_tb=not args.no_tb, num_epochs=args.epochs,
             resume_from=args.resume,
         )
+    if bank_pool is not None and bank_pool["proc"] is not None \
+            and bank_pool["proc"].poll() is None:
+        # Don't orphan an in-flight background bank render: it would keep
+        # burning the host CPU (and tempdir disk) after training exits.
+        bank_pool["proc"].terminate()
     print(f"run dir: {run_dir}")
 
 
