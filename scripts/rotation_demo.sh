@@ -1,0 +1,48 @@
+#!/bin/bash
+# Turnkey reproduction of the round-3 rotation-learning demonstration
+# (VERDICT r2 item #1). Three stages; each is resumable. Run on a real
+# TPU attachment (no env overrides). See BASELINE.md "Round-3
+# rotation-demo findings" for the root-cause history this encodes:
+#   - pose-cue raycast scenes (class tints + NOCS gradient) so appearance
+#     pins the full orientation,
+#   - staged device-resident trainer with fresh-scene restaging
+#     (defeats scene-bank memorization),
+#   - dense per-pixel supervision with hemisphere-canonical quat targets,
+#   - gradient-opaque voting (fields train densely, PVNet-style),
+#   - after any run that fit sign-garbage: scripts/reinit_branch.py to
+#     re-init the rotation branch, then resume at head LR 1e-4.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+SIZE_ARGS=(--IMAGE_HEIGHT 224 --IMAGE_WIDTH 320 --BATCH_SIZE 8
+  --TRAIN_SIZE 1024 --VALID_SIZE 128 --MAX_INSTANCES 8
+  --MAX_VOTE_POINTS 1024 --HV_NUM_OF_HYPOTHESES 128)
+DENSE_ARGS=(--DENSE_QUAT_WEIGHT 1.0 --DENSE_XY_WEIGHT 1.0
+  --DENSE_Z_WEIGHT 1.0 --DENSE_SCALES_WEIGHT 1.0)
+STAGED_ARGS=(--stage_on_device --restage_every 10 --CKPT_SAVE_FREQUENCY 50
+  --PLATEAU_PATIENCE 100000)
+
+# Stage 1: mask pre-training on pose-cue synthetic scenes (~0.4 s/epoch
+# staged; stop when val fg-IoU plateaus, ~50-100 epochs).
+python -m fastposecnn_tpu.cli.train -e DEMO_S1 --preset MASK_TRAINING \
+  --synthetic 1024 --synthetic_pose_cues "${SIZE_ARGS[@]}" \
+  "${STAGED_ARGS[@]}" --epochs 100
+
+S1=$(ls -dt logs/*/*DEMO_S1* | head -1)
+
+# Stage 2: full pipeline training with dense supervision; head LR 1e-4
+# (the reference's stage-2 1e-5 cannot move a fresh rotation branch),
+# encoder at 1e-5.
+python -m fastposecnn_tpu.cli.train -e DEMO_S2 --preset HEAD_TRAINING \
+  --synthetic 1024 --synthetic_pose_cues "${SIZE_ARGS[@]}" \
+  "${DENSE_ARGS[@]}" "${STAGED_ARGS[@]}" --epochs 400 \
+  --LEARNING_RATE 1e-4 --ENCODER_LEARNING_RATE 1e-5 \
+  --resume "$S1/checkpoints/best"
+
+S2=$(ls -dt logs/*/*DEMO_S2* | head -1)
+
+# Evaluate on HELD-OUT synthetic scenes (seed 99 never appears in any
+# training bank: train banks use seeds 0,2,3,...; valid uses 1).
+python -m fastposecnn_tpu.cli.evaluate --synthetic 128 --synthetic_seed 99 \
+  --synthetic_pose_cues "${SIZE_ARGS[@]}" \
+  --CHECKPOINT "$S2/checkpoints/best" --output /tmp/rot_demo_eval
