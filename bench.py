@@ -16,7 +16,37 @@ import time
 import numpy as np
 
 
+def _probe_devices(timeout_s: float = 120.0):
+    """Fail fast (instead of hanging forever) when the remote-TPU tunnel is
+    down: device enumeration through the axon relay blocks indefinitely
+    during an outage (observed 5h+, round 3), so probe it in a thread with
+    a deadline before committing the main thread to jax."""
+    import threading
+
+    out = {}
+
+    def probe():
+        import jax
+
+        out["devices"] = jax.devices()
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if "devices" not in out:
+        print(json.dumps({
+            "metric": "e2e_inference_fps_batch1_640x480",
+            "value": 0.0,
+            "unit": "fps",
+            "vs_baseline": 0.0,
+            "error": f"device enumeration timed out after {timeout_s:.0f}s "
+                     "(TPU tunnel down?) — not a performance measurement",
+        }))
+        raise SystemExit(2)
+
+
 def main():
+    _probe_devices()
     import jax
     import jax.numpy as jnp
 
