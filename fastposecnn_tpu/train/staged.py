@@ -236,6 +236,18 @@ def fit_staged(
 
     for epoch in range(num_epochs or hp.NUM_EPOCHS):
         if restage_every and epoch and epoch % restage_every == 0:
+            # Persist the pending best BEFORE the restage pause: a tunnel
+            # outage mid-restage (the round-3 ROT9 loss — 10 epochs of the
+            # first monotone rotation improvement gone before any flush)
+            # can then cost at most one restage cycle of progress. The
+            # ~30 s device_get is amortized against the multi-minute
+            # fresh-bank render the restage waits on anyway.
+            if best_state is not None:
+                ckpt.save_checkpoint(ckpt_dir / "best", best_step, best_state, hp)
+                best_state = None
+                last_flush_t = time.perf_counter()
+                flog.info("flushed best checkpoint before restage at epoch %d",
+                          epoch)
             restage_t0 = time.perf_counter()
             host_train, dev_train = stage(epoch)
             # A regenerated split may collate to a different sample count
@@ -353,8 +365,12 @@ def fit_staged(
         # cadence, whichever fires first: with CKPT_SAVE_FREQUENCY sized
         # for cheap staged epochs (hundreds), a killed run would otherwise
         # leave NOTHING on disk (the round-3 ROT3B_S2 kill lost 25 epochs).
-        flush_due = (epoch + 1) % hp.CKPT_SAVE_FREQUENCY == 0 or (
-            time.perf_counter() - last_flush_t > 600.0
+        # epoch == 0: always put SOMETHING on disk within the first epoch
+        # so an early outage never leaves an empty checkpoints/ dir.
+        flush_due = (
+            epoch == 0
+            or (epoch + 1) % hp.CKPT_SAVE_FREQUENCY == 0
+            or time.perf_counter() - last_flush_t > 600.0
         )
         if flush_due:
             last_flush_t = time.perf_counter()
@@ -362,7 +378,11 @@ def fit_staged(
                 ckpt_dir / "periodic", int(jax.device_get(state.step)),
                 state, hp,
             )
-            if best_state is not None:
+            # At epoch 0 the periodic ckpt IS the best (first epoch always
+            # improves on inf); skip the duplicate best save there so the
+            # device_get cost is paid once and the pending best still
+            # rides the next restage-boundary / cadence flush.
+            if best_state is not None and epoch > 0:
                 ckpt.save_checkpoint(
                     ckpt_dir / "best", best_step, best_state, hp
                 )

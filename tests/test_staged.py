@@ -107,7 +107,10 @@ def test_staged_cli_restage_regenerates_fresh_scenes(tmp_path, monkeypatch):
         "--TRAIN_SIZE", "4", "--VALID_SIZE", "2", "--MAX_INSTANCES", "4",
         "--MAX_VOTE_POINTS", "128", "--HV_NUM_OF_HYPOTHESES", "32",
         "--epochs", "3", "--no_tb", "--stage_on_device",
-        "--restage_every", "2",
+        "--restage_every", "2", "--CKPT_SAVE_FREQUENCY", "100",
     ])
     log = next((tmp_path / "logs").rglob("run.log")).read_text()
     assert "restaged 4 train samples (4 generated) at epoch 2" in log
+    # Outage resilience: the pending best is persisted BEFORE the restage
+    # pause, so a tunnel loss mid-restage costs at most one cycle (ROT9).
+    assert "flushed best checkpoint before restage at epoch 2" in log
