@@ -61,8 +61,24 @@ not in this image.
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import numpy as np
+
+from fastposecnn_tpu.data import native_loader as _nl
+
+# The hot kernels (HSV round trips, CLAHE, homography warps, 3x3 blurs)
+# also exist as native C implementations (native/fpcnn_native.cpp
+# "Augmentation hot ops") that mirror the numpy float32 evaluation order;
+# every op draws its random parameters BEFORE dispatching, so a given
+# (seed, epoch, sample) produces the same augmentation on either path.
+# Set FPCNN_NO_NATIVE_AUGMENT=1 to force the pure-numpy path.
+
+
+def _use_native() -> bool:
+    if os.environ.get("FPCNN_NO_NATIVE_AUGMENT"):
+        return False
+    return _nl.available()
 
 
 @dataclasses.dataclass
@@ -137,6 +153,8 @@ def clahe(img, rng, cfg: AugmentConfig):
     """Contrast-limited adaptive histogram equalization on the HSV value
     channel: per-tile clipped 256-bin histogram CDFs, bilinearly
     interpolated between tile centers (the standard CLAHE construction)."""
+    if _use_native():
+        return _nl.aug_clahe(img, cfg.clahe_tiles, cfg.clahe_clip_limit)
     hsv = _rgb_to_hsv(np.clip(img, 0.0, 1.0))
     v = hsv[..., 2]
     h, w = v.shape
@@ -199,6 +217,8 @@ def random_gamma(img, rng, cfg: AugmentConfig):
 
 
 def box_blur(img, k=3):
+    if k == 3 and img.dtype == np.float32 and _use_native():
+        return _nl.aug_conv3x3(img, np.ones((3, 3), np.float32)) / (k * k)
     pad = k // 2
     padded = np.pad(img, [(pad, pad), (pad, pad), (0, 0)], mode="edge")
     out = np.zeros_like(img)
@@ -211,6 +231,8 @@ def box_blur(img, k=3):
 def sharpen(img, rng, cfg: AugmentConfig):
     alpha = rng.uniform(*cfg.sharpen_alpha)
     lightness = rng.uniform(*cfg.sharpen_lightness)
+    if img.dtype == np.float32 and _use_native():
+        return _nl.aug_sharpen(img, alpha, lightness)
     sharpened = img + (img * lightness - box_blur(img)) * 1.0
     return img * (1 - alpha) + np.clip(sharpened, 0.0, 1.0) * alpha
 
@@ -226,6 +248,8 @@ def motion_blur(img, rng, cfg: AugmentConfig):
         x = int(round(c + step * np.cos(theta)))
         kern[y, x] = 1.0
     kern /= kern.sum()
+    if k == 3 and _use_native():
+        return _nl.aug_conv3x3(img.astype(np.float32), kern)
     pad = k // 2
     padded = np.pad(img, [(pad, pad), (pad, pad), (0, 0)], mode="edge")
     out = np.zeros_like(img)
@@ -244,14 +268,15 @@ def random_contrast(img, rng, cfg: AugmentConfig):
 
 
 def hsv_jitter(img, rng, cfg: AugmentConfig):
+    dh = rng.uniform(-cfg.hue_shift, cfg.hue_shift)
+    ds = rng.uniform(-cfg.sat_shift, cfg.sat_shift)
+    dv = rng.uniform(-cfg.val_shift, cfg.val_shift)
+    if _use_native():
+        return _nl.aug_hsv_jitter(img, dh, ds, dv)
     hsv = _rgb_to_hsv(np.clip(img, 0.0, 1.0))
-    hsv[..., 0] = (hsv[..., 0] + rng.uniform(-cfg.hue_shift, cfg.hue_shift)) % 1.0
-    hsv[..., 1] = np.clip(
-        hsv[..., 1] + rng.uniform(-cfg.sat_shift, cfg.sat_shift), 0.0, 1.0
-    )
-    hsv[..., 2] = np.clip(
-        hsv[..., 2] + rng.uniform(-cfg.val_shift, cfg.val_shift), 0.0, 1.0
-    )
+    hsv[..., 0] = (hsv[..., 0] + dh) % 1.0
+    hsv[..., 1] = np.clip(hsv[..., 1] + ds, 0.0, 1.0)
+    hsv[..., 2] = np.clip(hsv[..., 2] + dv, 0.0, 1.0)
     return _hsv_to_rgb(hsv)
 
 
@@ -299,6 +324,15 @@ def warp_image(img, H, order=1, fill=0.0):
     """Inverse-map warp. order=1 bilinear (images), order=0 nearest
     (masks / depth)."""
     h, w = img.shape[:2]
+    if (
+        fill == 0.0
+        and (order == 0 or img.dtype == np.float32)
+        and _use_native()
+    ):
+        H_inv = np.linalg.inv(H)
+        if order == 0:
+            return _nl.aug_warp_nearest(img, H_inv)
+        return _nl.aug_warp_bilinear(img, H_inv)
     sx, sy = _warp_coords(np.linalg.inv(H), h, w)
     if order == 0:
         xi = np.round(sx).astype(int)

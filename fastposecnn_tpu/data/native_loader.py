@@ -78,6 +78,36 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_int,
     ]
     lib.fpcnn_cc_label_batch.restype = None
+    _f32p = ctypes.POINTER(ctypes.c_float)
+    _f64p = ctypes.POINTER(ctypes.c_double)
+    lib.fpcnn_aug_hsv_jitter.argtypes = [
+        _f32p, ctypes.c_int, ctypes.c_int,
+        ctypes.c_float, ctypes.c_float, ctypes.c_float,
+    ]
+    lib.fpcnn_aug_hsv_jitter.restype = None
+    lib.fpcnn_aug_clahe.argtypes = [
+        _f32p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_float,
+    ]
+    lib.fpcnn_aug_clahe.restype = None
+    lib.fpcnn_aug_warp_bilinear.argtypes = [
+        _f32p, _f32p, ctypes.c_int, ctypes.c_int, ctypes.c_int, _f64p,
+    ]
+    lib.fpcnn_aug_warp_bilinear.restype = None
+    lib.fpcnn_aug_warp_nearest.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, _f64p,
+    ]
+    lib.fpcnn_aug_warp_nearest.restype = None
+    lib.fpcnn_aug_conv3x3.argtypes = [
+        _f32p, _f32p, ctypes.c_int, ctypes.c_int, ctypes.c_int, _f32p,
+        ctypes.c_float,
+    ]
+    lib.fpcnn_aug_conv3x3.restype = None
+    lib.fpcnn_aug_sharpen.argtypes = [
+        _f32p, _f32p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_double, ctypes.c_double,
+    ]
+    lib.fpcnn_aug_sharpen.restype = None
     _lib = lib
     return _lib
 
@@ -140,6 +170,96 @@ def cc_label(fg: np.ndarray) -> Tuple[np.ndarray, int]:
         labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
     )
     return labels, n
+
+
+# -- augmentation hot ops (see native/fpcnn_native.cpp "Augmentation hot
+# ops"; numpy-parity asserted by tests/test_native.py) ----------------------
+
+_F32P = ctypes.POINTER(ctypes.c_float)
+_U8P = ctypes.POINTER(ctypes.c_uint8)
+
+
+def aug_hsv_jitter(img: np.ndarray, dh: float, ds: float, dv: float):
+    """Fused clip->rgb2hsv->jitter->hsv2rgb on [H, W, 3] float32; returns a
+    new array (the input is not mutated)."""
+    lib = _load()
+    out = np.ascontiguousarray(img, np.float32).copy()
+    h, w = out.shape[:2]
+    lib.fpcnn_aug_hsv_jitter(out.ctypes.data_as(_F32P), h, w, dh, ds, dv)
+    return out
+
+
+def aug_clahe(img: np.ndarray, tiles: int, clip_limit: float):
+    lib = _load()
+    out = np.ascontiguousarray(img, np.float32).copy()
+    h, w = out.shape[:2]
+    lib.fpcnn_aug_clahe(out.ctypes.data_as(_F32P), h, w, tiles, clip_limit)
+    return out
+
+
+def aug_warp_bilinear(img: np.ndarray, H_inv: np.ndarray) -> np.ndarray:
+    """Inverse-map bilinear warp of [H, W(, C)] float32, zero fill."""
+    lib = _load()
+    squeeze = img.ndim == 2
+    src = np.ascontiguousarray(
+        img[..., None] if squeeze else img, np.float32
+    )
+    h, w, c = src.shape
+    dst = np.empty_like(src)
+    Hi = np.ascontiguousarray(H_inv, np.float64)
+    lib.fpcnn_aug_warp_bilinear(
+        src.ctypes.data_as(_F32P), dst.ctypes.data_as(_F32P), h, w, c,
+        Hi.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+    )
+    return dst[..., 0] if squeeze else dst
+
+
+def aug_warp_nearest(img: np.ndarray, H_inv: np.ndarray) -> np.ndarray:
+    """Nearest (np.round half-even) warp, zero fill, any element dtype."""
+    lib = _load()
+    squeeze = img.ndim == 2
+    src = np.ascontiguousarray(img[..., None] if squeeze else img)
+    h, w, c = src.shape
+    dst = np.empty_like(src)
+    Hi = np.ascontiguousarray(H_inv, np.float64)
+    lib.fpcnn_aug_warp_nearest(
+        src.ctypes.data_as(_U8P), dst.ctypes.data_as(_U8P), h, w, c,
+        src.dtype.itemsize,
+        Hi.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+    )
+    return dst[..., 0] if squeeze else dst
+
+
+def aug_conv3x3(img: np.ndarray, kern: np.ndarray, scale: float = 1.0):
+    """3x3 conv with edge padding on [H, W(, C)] float32."""
+    lib = _load()
+    squeeze = img.ndim == 2
+    src = np.ascontiguousarray(
+        img[..., None] if squeeze else img, np.float32
+    )
+    h, w, c = src.shape
+    dst = np.empty_like(src)
+    k = np.ascontiguousarray(kern, np.float32)
+    lib.fpcnn_aug_conv3x3(
+        src.ctypes.data_as(_F32P), dst.ctypes.data_as(_F32P), h, w, c,
+        k.ctypes.data_as(_F32P), scale,
+    )
+    return dst[..., 0] if squeeze else dst
+
+
+def aug_sharpen(img: np.ndarray, alpha: float, lightness: float):
+    """Fused unsharp mask: img*(1-alpha) + clip(img + img*lightness -
+    box_blur3(img), 0, 1)*alpha."""
+    lib = _load()
+    src = np.ascontiguousarray(img, np.float32)
+    h, w = src.shape[:2]
+    c = 1 if src.ndim == 2 else src.shape[2]
+    dst = np.empty_like(src)
+    lib.fpcnn_aug_sharpen(
+        src.ctypes.data_as(_F32P), dst.ctypes.data_as(_F32P), h, w, c,
+        alpha, lightness,
+    )
+    return dst
 
 
 def cc_label_batch(fg: np.ndarray, num_threads: int = 4):

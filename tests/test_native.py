@@ -58,3 +58,87 @@ class TestNativeCC:
             ref, n_ref = scipy.ndimage.label(fg[b])
             assert counts[b] == n_ref
             np.testing.assert_array_equal(labels[b], ref)
+
+
+class TestNativeAugmentParity:
+    """The C augment hot ops (native/fpcnn_native.cpp "Augmentation hot
+    ops") mirror the numpy kernels' float32 evaluation order; parity must
+    be BIT-exact so a (seed, epoch, sample) triple renders the same
+    augmented sample whichever path serves it."""
+
+    def _both(self, fn, seed, monkeypatch):
+        import copy
+
+        r1 = np.random.default_rng(seed)
+        r2 = np.random.default_rng(seed)
+        monkeypatch.setenv("FPCNN_NO_NATIVE_AUGMENT", "1")
+        ref = fn(r1)
+        monkeypatch.delenv("FPCNN_NO_NATIVE_AUGMENT")
+        out = fn(r2)
+        return ref, out
+
+    @pytest.fixture
+    def img(self, rng):
+        # Non-tile-divisible dims exercise the CLAHE edge tiles.
+        return rng.random((95, 121, 3)).astype(np.float32)
+
+    def test_photometric_ops_bit_exact(self, rng, img, monkeypatch):
+        from fastposecnn_tpu.data import augment as A
+
+        cfg = A.AugmentConfig()
+        for fn in (
+            lambda r: A.hsv_jitter(img, r, cfg),
+            lambda r: A.clahe(img, r, cfg),
+            lambda r: A.box_blur(img),
+            lambda r: A.motion_blur(img, r, cfg),
+            lambda r: A.sharpen(img, r, cfg),
+        ):
+            ref, out = self._both(fn, 11, monkeypatch)
+            np.testing.assert_array_equal(out, ref)
+
+    def test_warps_bit_exact(self, rng, img, monkeypatch):
+        from fastposecnn_tpu.data import augment as A
+
+        cfg = A.AugmentConfig()
+        H = A.sample_homography(*img.shape[:2], rng, cfg)
+        mask = (rng.random(img.shape[:2]) * 7).astype(np.uint8)
+        depth = rng.random(img.shape[:2]).astype(np.float32)
+        for arr, order in ((img, 1), (mask, 0), (depth, 0)):
+            ref, out = self._both(
+                lambda r, a=arr, o=order: A.warp_image(a, H, o), 0,
+                monkeypatch,
+            )
+            assert out.dtype == ref.dtype
+            np.testing.assert_array_equal(out, ref)
+
+    def test_full_sample_compose_bit_exact(self, rng, monkeypatch):
+        from fastposecnn_tpu.data import augment as A
+        from fastposecnn_tpu.data.synthetic import SceneConfig, generate_scene
+
+        scene = generate_scene(
+            np.random.default_rng(5),
+            SceneConfig(height=96, width=128, max_instances=4,
+                        render_pose_cues=True),
+        )
+        import copy
+
+        cfg = A.AugmentConfig()
+
+        def fn(r):
+            s = copy.deepcopy(scene)
+            return A.augment_sample(
+                {
+                    "image": s["image"],
+                    "mask": (s["mask"] > 0).astype(np.uint8),
+                    "agg": s["agg"],
+                },
+                r, cfg, intrinsics=scene["intrinsics"],
+            )
+
+        ref, out = self._both(fn, 3, monkeypatch)
+        np.testing.assert_array_equal(out["image"], ref["image"])
+        np.testing.assert_array_equal(out["mask"], ref["mask"])
+        np.testing.assert_array_equal(
+            out["agg"]["instance_masks"], ref["agg"]["instance_masks"]
+        )
+        np.testing.assert_array_equal(out["agg"]["xy"], ref["agg"]["xy"])
