@@ -61,12 +61,36 @@ from fastposecnn_tpu.train.loop import make_run_dir
 from fastposecnn_tpu.utils.tb import RunLogger
 
 
-def stage_dataset(ds) -> Optional[dict]:
+def stage_dataset(ds, num_workers: int = 1) -> Optional[dict]:
     """Materialize every sample of a NOCSDataset into stacked host arrays
-    (compact wire dtypes preserved: uint8 images/masks)."""
+    (compact wire dtypes preserved: uint8 images/masks).
+
+    num_workers > 1 materializes samples in forked worker processes (the
+    same mechanism as PrefetchLoader's process backend — numpy/C augment
+    work holds or bypasses the GIL, threads don't scale it). Restage time
+    is the staged trainer's per-cycle overhead, so on multi-core hosts
+    this divides the one host-bound cost the scan-epoch path has left.
+    Augmentation draws are keyed on (seed, epoch, index), so worker
+    partitioning cannot change the result; set ds.epoch BEFORE calling."""
     from fastposecnn_tpu.data.nocs import collate
 
-    samples = [ds[i] for i in range(len(ds))]
+    if num_workers > 1:
+        from concurrent.futures import ProcessPoolExecutor
+
+        from fastposecnn_tpu.data.loader import _init_worker, _worker_get
+
+        with ProcessPoolExecutor(
+            num_workers, initializer=_init_worker, initargs=(ds,)
+        ) as pool:
+            samples = list(
+                pool.map(
+                    _worker_get,
+                    range(len(ds)),
+                    chunksize=max(1, len(ds) // (num_workers * 8)),
+                )
+            )
+    else:
+        samples = [ds[i] for i in range(len(ds))]
     batch = collate(samples)
     if batch is None:
         return None
@@ -196,14 +220,14 @@ def fit_staged(
             # (train CE 0.27->0.06 while val climbed 2.5->3.3).
             regen_fn(split_epoch)
         train_ds.epoch = split_epoch  # advances augmentation draws
-        host_train = stage_dataset(train_ds)
+        host_train = stage_dataset(train_ds, num_workers=hp.NUM_WORKERS)
         if host_train is None:
             raise SystemExit("staged trainer: empty training dataset")
         return host_train, jax.device_put(host_train)
 
     t0 = time.perf_counter()
     host_train, dev_train = stage(0)
-    host_valid = stage_dataset(valid_ds)
+    host_valid = stage_dataset(valid_ds, num_workers=hp.NUM_WORKERS)
     dev_valid = jax.device_put(host_valid) if host_valid else None
     n_train = host_train["image"].shape[0]
     n_valid = host_valid["image"].shape[0] if host_valid else 0

@@ -114,3 +114,26 @@ def test_staged_cli_restage_regenerates_fresh_scenes(tmp_path, monkeypatch):
     # Outage resilience: the pending best is persisted BEFORE the restage
     # pause, so a tunnel loss mid-restage costs at most one cycle (ROT9).
     assert "flushed best checkpoint before restage at epoch 2" in log
+
+
+def test_stage_dataset_parallel_matches_serial(tmp_path):
+    """Multi-worker staging must be byte-identical to serial staging:
+    augmentation draws are keyed on (seed, epoch, index), never on worker
+    partitioning."""
+    from fastposecnn_tpu.data.nocs import NOCSDataset
+    from fastposecnn_tpu.data.nocs_writer import write_synthetic_nocs
+    from fastposecnn_tpu.data.synthetic import SceneConfig
+
+    scfg = SceneConfig(height=64, width=64, max_instances=4,
+                       render_pose_cues=True)
+    root = write_synthetic_nocs(tmp_path / "ds", 5, 0, scfg)
+    ds = NOCSDataset(root, dataset_name="CAMERA", max_instances=4,
+                     augmentation="train")
+    ds.epoch = 3
+    serial = stage_dataset(ds, num_workers=1)
+    parallel = stage_dataset(ds, num_workers=2)
+    assert serial.keys() == parallel.keys()
+    np.testing.assert_array_equal(serial["image"], parallel["image"])
+    np.testing.assert_array_equal(serial["mask"], parallel["mask"])
+    for k in serial["agg"]:
+        np.testing.assert_array_equal(serial["agg"][k], parallel["agg"][k])
