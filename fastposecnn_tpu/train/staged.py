@@ -40,6 +40,7 @@ path (its DataLoader streams from disk every step).
 from __future__ import annotations
 
 import pathlib
+import threading
 import time
 from typing import Optional
 
@@ -258,6 +259,31 @@ def fit_staged(
     ckpt_dir = run_dir / "checkpoints"
     shuffle_rng = np.random.default_rng(42)
 
+    # Checkpoint flushes run on a background thread: the save's device_get
+    # of the full TrainState costs ~30-60 s through a remote-attached chip
+    # while the epochs it would block are ~1.4 s each. States are immutable
+    # pytrees of on-device buffers, so snapshotting is free and training
+    # can keep dispatching while the fetch drains. One worker, FIFO: a new
+    # flush joins the previous one first (bounds live HBM copies to ~1
+    # extra state), and the epilogue joins before the final saves.
+    flush_thread: Optional[threading.Thread] = None
+
+    def flush_async(jobs):
+        nonlocal flush_thread
+        prev = flush_thread
+
+        def work():
+            if prev is not None:
+                prev.join()
+            for tag, step_, st in jobs:
+                try:
+                    ckpt.save_checkpoint(ckpt_dir / tag, step_, st, hp)
+                except Exception:  # noqa: BLE001
+                    flog.exception("async checkpoint flush (%s) failed", tag)
+
+        flush_thread = threading.Thread(target=work, daemon=True)
+        flush_thread.start()
+
     for epoch in range(num_epochs or hp.NUM_EPOCHS):
         if restage_every and epoch and epoch % restage_every == 0:
             # Persist the pending best BEFORE the restage pause: a tunnel
@@ -267,7 +293,7 @@ def fit_staged(
             # ~30 s device_get is amortized against the multi-minute
             # fresh-bank render the restage waits on anyway.
             if best_state is not None:
-                ckpt.save_checkpoint(ckpt_dir / "best", best_step, best_state, hp)
+                flush_async([("best", best_step, best_state)])
                 best_state = None
                 last_flush_t = time.perf_counter()
                 flog.info("flushed best checkpoint before restage at epoch %d",
@@ -398,19 +424,15 @@ def fit_staged(
         )
         if flush_due:
             last_flush_t = time.perf_counter()
-            ckpt.save_checkpoint(
-                ckpt_dir / "periodic", int(jax.device_get(state.step)),
-                state, hp,
-            )
+            jobs = [("periodic", host_step, state)]
             # At epoch 0 the periodic ckpt IS the best (first epoch always
             # improves on inf); skip the duplicate best save there so the
             # device_get cost is paid once and the pending best still
             # rides the next restage-boundary / cadence flush.
             if best_state is not None and epoch > 0:
-                ckpt.save_checkpoint(
-                    ckpt_dir / "best", best_step, best_state, hp
-                )
+                jobs.append(("best", best_step, best_state))
                 best_state = None  # flushed
+            flush_async(jobs)
         train_means = {
             ("d_" + k.split("/")[0] if k.endswith("loss_dense")
              else k.split("/")[-1]): float(np.mean(v))
@@ -436,6 +458,8 @@ def fit_staged(
         if log_cb is not None:
             log_cb(epoch, val_loss, pose_vals)
 
+    if flush_thread is not None:
+        flush_thread.join()
     if best_state is not None:
         ckpt.save_checkpoint(ckpt_dir / "best", best_step, best_state, hp)
     ckpt.save_checkpoint(ckpt_dir / "last", int(state.step), state, hp)
