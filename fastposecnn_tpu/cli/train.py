@@ -145,10 +145,27 @@ def main(argv=None):
             if pool["proc"] is None or pool["proc"].poll() is None:
                 return
             if pool["proc"].returncode != 0:
-                raise RuntimeError(
-                    f"background scene-bank render failed (exit "
-                    f"{pool['proc'].returncode}); see {tmp / 'regen.log'}"
+                # A renderer hiccup must not abort hours of device training:
+                # keep rotating the existing banks and retry (bounded — a
+                # deterministic failure should still surface, loudly).
+                pool["fails"] = pool.get("fails", 0) + 1
+                if pool["fails"] > 3:
+                    raise RuntimeError(
+                        f"background scene-bank render failed "
+                        f"{pool['fails']} times in a row (last exit "
+                        f"{pool['proc'].returncode}); see {tmp / 'regen.log'}"
+                    )
+                print(
+                    f"WARNING: background scene-bank render failed (exit "
+                    f"{pool['proc'].returncode}, attempt {pool['fails']}/3); "
+                    f"continuing on {len(pool['dirs'])} pooled bank(s), "
+                    f"retrying — see {tmp / 'regen.log'}",
+                    flush=True,
                 )
+                shutil.rmtree(pool["render_dir"], ignore_errors=True)
+                _launch_bank()
+                return
+            pool["fails"] = 0
             pool["dirs"].append(pool["render_dir"])
             if len(pool["dirs"]) > pool["cap"]:
                 victim = pool["dirs"].pop(0)
