@@ -39,21 +39,26 @@ def write_synthetic_nocs(
         n = int(valid.sum())
 
         img = np.clip(scene["image"], 0, 1)
+        # compress_level=1: PNG is lossless at every level and the default
+        # (6) made zlib ~52% of bank-render cost (BASELINE.md round 3);
+        # banks are throwaway training pools, so trade disk for speed.
         Image.fromarray((img * 255).astype(np.uint8)).save(
-            f"{prefix}_color.png"
+            f"{prefix}_color.png", compress_level=1
         )
 
         # Instance-id mask: ids 1..n; background 255 like NOCS raw masks.
         inst_mask = np.full(scene["mask"].shape, 255, np.uint8)
         for k in range(n):
             inst_mask[agg["instance_masks"][k] > 0] = k + 1
-        Image.fromarray(inst_mask).save(f"{prefix}_mask.png")
+        Image.fromarray(inst_mask).save(f"{prefix}_mask.png",
+                                compress_level=1)
 
         # Depth: per-pixel object z in mm (uint16), 0 background.
         depth = np.zeros(scene["mask"].shape, np.uint16)
         for k in range(n):
             depth[agg["instance_masks"][k] > 0] = np.uint16(agg["z"][k])
-        Image.fromarray(depth).save(f"{prefix}_depth.png")
+        Image.fromarray(depth).save(f"{prefix}_depth.png",
+                            compress_level=1)
 
         meta = {
             "instance_dict": {
