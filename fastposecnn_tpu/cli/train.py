@@ -62,6 +62,13 @@ def main(argv=None):
     parser.add_argument("--restage_every", type=int, default=0,
                         help="with --stage_on_device: re-materialize the "
                              "(augmented) training set every K epochs")
+    parser.add_argument("--bank_pool_dir", default=None,
+                        help="with --synthetic: persistent directory for "
+                             "the rotating scene-bank pool; a relaunched "
+                             "run (e.g. after a device outage) reuses the "
+                             "already-rendered banks instead of starting "
+                             "from one. Banks must have been rendered with "
+                             "the same scene config.")
     C.add_cli_overrides(parser, C.HParams())
     args = parser.parse_args(argv)
 
@@ -81,15 +88,25 @@ def main(argv=None):
         from fastposecnn_tpu.data.nocs_writer import write_synthetic_nocs
         from fastposecnn_tpu.data.synthetic import SceneConfig
 
-        tmp = pathlib.Path(tempfile.mkdtemp(prefix="fpcnn_synth_"))
+        if args.bank_pool_dir:
+            tmp = pathlib.Path(args.bank_pool_dir)
+            tmp.mkdir(parents=True, exist_ok=True)
+        else:
+            tmp = pathlib.Path(tempfile.mkdtemp(prefix="fpcnn_synth_"))
         scfg = SceneConfig(
             height=hp.IMAGE_HEIGHT, width=hp.IMAGE_WIDTH,
             num_classes=hp.num_classes, max_instances=hp.MAX_INSTANCES,
             render_pose_cues=args.synthetic_pose_cues,
         )
-        train_dir = write_synthetic_nocs(tmp / "train", args.synthetic, 0, scfg)
-        valid_dir = write_synthetic_nocs(
-            tmp / "valid", max(2, args.synthetic // 4), 1, scfg
+
+        def _render_if_empty(d, n, seed):
+            if not (d.exists() and any(d.iterdir())):
+                write_synthetic_nocs(d, n, seed, scfg)
+            return d
+
+        train_dir = _render_if_empty(tmp / "train", args.synthetic, 0)
+        valid_dir = _render_if_empty(
+            tmp / "valid", max(2, args.synthetic // 4), 1
         )
 
         # Fresh scene geometry per restage (--stage_on_device
@@ -109,18 +126,32 @@ def main(argv=None):
         import shutil
         import subprocess
 
+        # A persistent pool dir (--bank_pool_dir) may already hold banks
+        # from an interrupted run: adopt completed ones (renders go to a
+        # `.part` dir and are renamed only on success, so anything named
+        # bank_N is whole) and clear orphaned partials.
+        existing = sorted(
+            (d for d in tmp.glob("bank_[0-9]*") if d.is_dir()
+             and not d.name.endswith(".part")),
+            key=lambda d: int(d.name.split("_")[1]),
+        )
+        for part in tmp.glob("bank_*.part"):
+            shutil.rmtree(part, ignore_errors=True)
+
         pool = {
-            "dirs": [tmp / "train"],  # rendered, ready-to-stage banks
+            # rendered, ready-to-stage banks
+            "dirs": [tmp / "train"] + existing,
             "rr": 0,                  # round-robin cursor
             "cap": 6,
             "proc": None,
             "render_dir": None,
-            "seed": 2,
-            "log": open(tmp / "regen.log", "w"),
+            "seed": (int(existing[-1].name.split("_")[1]) + 1
+                     if existing else 2),
+            "log": open(tmp / "regen.log", "a"),
         }
 
         def _launch_bank() -> None:
-            pool["render_dir"] = tmp / f"bank_{pool['seed']}"
+            pool["render_dir"] = tmp / f"bank_{pool['seed']}.part"
             cmd = [
                 sys.executable, "-m", "fastposecnn_tpu.data.nocs_writer",
                 "--out", str(pool["render_dir"]),
@@ -138,6 +169,11 @@ def main(argv=None):
                 cmd, env=env, stdout=pool["log"], stderr=pool["log"]
             )
             pool["seed"] += 1
+            if pool["seed"] == 99:
+                # Reserved for held-out evaluation (--synthetic_seed 99 in
+                # cli.evaluate / rotation_demo.sh): a long run's bank
+                # stream must never collide with the held-out set.
+                pool["seed"] += 1
 
         def _harvest() -> None:
             """If the background render finished, admit its bank to the pool
@@ -166,7 +202,11 @@ def main(argv=None):
                 _launch_bank()
                 return
             pool["fails"] = 0
-            pool["dirs"].append(pool["render_dir"])
+            done = pool["render_dir"].with_name(
+                pool["render_dir"].name[: -len(".part")]
+            )
+            pool["render_dir"].rename(done)
+            pool["dirs"].append(done)
             if len(pool["dirs"]) > pool["cap"]:
                 victim = pool["dirs"].pop(0)
                 if pool["rr"] > 0:

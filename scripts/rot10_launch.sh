@@ -27,4 +27,5 @@ python -m fastposecnn_tpu.cli.train -e ROT10_S2 --preset HEAD_TRAINING \
   --LEARNING_RATE 1e-4 --ENCODER_LEARNING_RATE 1e-5 \
   --stage_on_device --restage_every 10 --CKPT_SAVE_FREQUENCY 50 \
   --PLATEAU_PATIENCE 100000 --epochs "$EPOCHS" \
+  --bank_pool_dir /tmp/rot10_banks \
   --resume "$REINIT_CKPT"

@@ -137,3 +137,38 @@ def test_stage_dataset_parallel_matches_serial(tmp_path):
     np.testing.assert_array_equal(serial["mask"], parallel["mask"])
     for k in serial["agg"]:
         np.testing.assert_array_equal(serial["agg"][k], parallel["agg"][k])
+
+
+@pytest.mark.slow
+def test_bank_pool_dir_persists_across_runs(tmp_path, monkeypatch):
+    """--bank_pool_dir: a relaunched run adopts already-rendered banks
+    (outage-restart workflow) instead of re-rendering from scratch; seed
+    numbering continues after the adopted banks and skips the reserved
+    held-out seed 99."""
+    monkeypatch.setenv("LOGS", str(tmp_path / "logs"))
+    from fastposecnn_tpu.cli.train import main
+
+    pool_dir = tmp_path / "pool"
+    args = [
+        "--preset", "MASK_TRAINING", "--synthetic", "4",
+        "--IMAGE_HEIGHT", "64", "--IMAGE_WIDTH", "64", "--BATCH_SIZE", "2",
+        "--TRAIN_SIZE", "4", "--VALID_SIZE", "2", "--MAX_INSTANCES", "4",
+        "--MAX_VOTE_POINTS", "128", "--HV_NUM_OF_HYPOTHESES", "32",
+        "--epochs", "3", "--no_tb", "--stage_on_device",
+        "--restage_every", "2", "--CKPT_SAVE_FREQUENCY", "100",
+        "--bank_pool_dir", str(pool_dir),
+    ]
+    main(["-e", "POOL1"] + args)
+    banks_after_first = {d.name for d in pool_dir.glob("bank_[0-9]*")
+                         if not d.name.endswith(".part")}
+    assert (pool_dir / "train").exists() and (pool_dir / "valid").exists()
+    # a fake orphaned partial render must be cleared on relaunch
+    (pool_dir / "bank_7.part").mkdir()
+    main(["-e", "POOL2"] + args)
+    assert not (pool_dir / "bank_7.part").exists()
+    banks_after_second = {d.name for d in pool_dir.glob("bank_[0-9]*")
+                          if not d.name.endswith(".part")}
+    # the second run adopted (did not delete) the first run's banks
+    assert banks_after_first <= banks_after_second
+    logs = sorted((tmp_path / "logs").rglob("run.log"))
+    assert len(logs) == 2
