@@ -61,6 +61,16 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_int,
     ]
     lib.fpcnn_decode_normalize.restype = ctypes.c_int
+    lib.fpcnn_png_encode.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_int,
+    ]
+    lib.fpcnn_png_encode.restype = ctypes.c_int
     lib.fpcnn_cc_label.argtypes = [
         ctypes.POINTER(ctypes.c_uint8),
         ctypes.c_int,
@@ -142,6 +152,27 @@ def decode_png(path) -> np.ndarray:
     if rc:
         raise IOError(f"png_decode({path}) failed rc={rc}")
     return out
+
+
+def encode_png(path, arr: np.ndarray, compress_level: int = 1) -> None:
+    """Write [H, W] / [H, W, {3,4}] uint8 or [H, W] uint16 as PNG."""
+    lib = _load()
+    arr = np.ascontiguousarray(arr)
+    if arr.dtype == np.uint8:
+        bd = 8
+    elif arr.dtype == np.uint16:
+        bd = 16
+    else:
+        raise ValueError(f"encode_png: unsupported dtype {arr.dtype}")
+    h, w = arr.shape[:2]
+    c = 1 if arr.ndim == 2 else arr.shape[2]
+    rc = lib.fpcnn_png_encode(
+        str(path).encode(),
+        arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        w, h, c, bd, compress_level,
+    )
+    if rc:
+        raise IOError(f"png_encode({path}) failed rc={rc}")
 
 
 def decode_normalized(path, height: int, width: int) -> np.ndarray:

@@ -16,7 +16,17 @@ import pathlib
 import numpy as np
 from PIL import Image
 
+from fastposecnn_tpu.data import native_loader as _nl
 from fastposecnn_tpu.data.synthetic import SceneConfig, generate_scene
+
+
+def _save_png(path, arr: np.ndarray) -> None:
+    """Lossless PNG write; native libpng encoder when built (~2x PIL at
+    the Z_BEST_SPEED level the throwaway banks use), PIL otherwise."""
+    if _nl.available():
+        _nl.encode_png(path, arr, compress_level=1)
+    else:
+        Image.fromarray(arr).save(path, compress_level=1)
 
 
 def write_synthetic_nocs(
@@ -39,26 +49,19 @@ def write_synthetic_nocs(
         n = int(valid.sum())
 
         img = np.clip(scene["image"], 0, 1)
-        # compress_level=1: PNG is lossless at every level and the default
-        # (6) made zlib ~52% of bank-render cost (BASELINE.md round 3);
-        # banks are throwaway training pools, so trade disk for speed.
-        Image.fromarray((img * 255).astype(np.uint8)).save(
-            f"{prefix}_color.png", compress_level=1
-        )
+        _save_png(f"{prefix}_color.png", (img * 255).astype(np.uint8))
 
         # Instance-id mask: ids 1..n; background 255 like NOCS raw masks.
         inst_mask = np.full(scene["mask"].shape, 255, np.uint8)
         for k in range(n):
             inst_mask[agg["instance_masks"][k] > 0] = k + 1
-        Image.fromarray(inst_mask).save(f"{prefix}_mask.png",
-                                compress_level=1)
+        _save_png(f"{prefix}_mask.png", inst_mask)
 
         # Depth: per-pixel object z in mm (uint16), 0 background.
         depth = np.zeros(scene["mask"].shape, np.uint16)
         for k in range(n):
             depth[agg["instance_masks"][k] > 0] = np.uint16(agg["z"][k])
-        Image.fromarray(depth).save(f"{prefix}_depth.png",
-                            compress_level=1)
+        _save_png(f"{prefix}_depth.png", depth)
 
         meta = {
             "instance_dict": {

@@ -103,6 +103,48 @@ int fpcnn_png_decode(const char* path, uint8_t* out, int expect_w,
   return 0;
 }
 
+// Encode an 8-bit gray/RGB/RGBA or 16-bit gray buffer as PNG.
+// compress_level 0-9 (1 = Z_BEST_SPEED, what the synthetic bank writer
+// uses — banks are throwaway training pools). 16-bit input is host
+// (little-endian) order; libpng swaps on write. Returns 0 on success.
+int fpcnn_png_encode(const char* path, const uint8_t* data, int w, int h,
+                     int channels, int bitdepth, int compress_level) {
+  if ((bitdepth != 8 && bitdepth != 16) ||
+      (channels != 1 && channels != 3 && channels != 4) ||
+      (bitdepth == 16 && channels != 1))
+    return 4;
+  FILE* fp = fopen(path, "wb");
+  if (!fp) return 1;
+  png_structp png = png_create_write_struct(PNG_LIBPNG_VER_STRING, nullptr,
+                                            nullptr, nullptr);
+  png_infop info = png_create_info_struct(png);
+  if (setjmp(png_jmpbuf(png))) {
+    png_destroy_write_struct(&png, &info);
+    fclose(fp);
+    return 2;
+  }
+  png_init_io(png, fp);
+  int color = channels == 1   ? PNG_COLOR_TYPE_GRAY
+              : channels == 3 ? PNG_COLOR_TYPE_RGB
+                              : PNG_COLOR_TYPE_RGB_ALPHA;
+  png_set_IHDR(png, info, w, h, bitdepth, color, PNG_INTERLACE_NONE,
+               PNG_COMPRESSION_TYPE_DEFAULT, PNG_FILTER_TYPE_DEFAULT);
+  png_set_compression_level(png, compress_level);
+  // SUB filter alone: near-NONE speed, most of the ratio on smooth images.
+  png_set_filter(png, 0, PNG_FILTER_SUB);
+  png_write_info(png, info);
+  if (bitdepth == 16) png_set_swap(png);
+  size_t stride = (size_t)w * channels * (bitdepth / 8);
+  std::vector<png_bytep> rows(h);
+  for (int y = 0; y < h; ++y)
+    rows[y] = const_cast<png_bytep>(data + y * stride);
+  png_write_image(png, rows.data());
+  png_write_end(png, nullptr);
+  png_destroy_write_struct(&png, &info);
+  fclose(fp);
+  return 0;
+}
+
 // Decode an RGB(A) color PNG straight into ImageNet-normalized float32 NHWC.
 int fpcnn_decode_normalize(const char* path, float* out, int expect_w,
                            int expect_h) {

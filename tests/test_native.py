@@ -142,3 +142,24 @@ class TestNativeAugmentParity:
             out["agg"]["instance_masks"], ref["agg"]["instance_masks"]
         )
         np.testing.assert_array_equal(out["agg"]["xy"], ref["agg"]["xy"])
+
+
+class TestNativePngEncode:
+    def test_roundtrip_exact(self, rng, tmp_path):
+        from PIL import Image
+
+        rgb = (rng.random((24, 36, 3)) * 255).astype(np.uint8)
+        gray = (rng.random((24, 36)) * 255).astype(np.uint8)
+        d16 = (rng.random((24, 36)) * 65535).astype(np.uint16)
+        for name, arr in (("rgb", rgb), ("gray", gray), ("d16", d16)):
+            p = tmp_path / f"{name}.png"
+            nl.encode_png(p, arr)
+            back = np.asarray(Image.open(p))
+            assert back.dtype == arr.dtype
+            np.testing.assert_array_equal(back, arr)
+            native_back = nl.decode_png(p).squeeze()
+            np.testing.assert_array_equal(native_back, arr)
+
+    def test_bad_dtype_rejected(self, tmp_path):
+        with pytest.raises(ValueError):
+            nl.encode_png(tmp_path / "x.png", np.zeros((4, 4), np.float32))
