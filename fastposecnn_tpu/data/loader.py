@@ -37,6 +37,24 @@ def _worker_get(i):
     return _WORKER_DS[int(i)]
 
 
+def _worker_stage_get(args):
+    """Persistent staging-pool worker: (index, epoch, dataset_dir).
+
+    The staged trainer forks its worker pool ONCE at startup (forking
+    later would race its async checkpoint-flush thread: a child forked
+    mid-device_get inherits locked JAX/allocator mutexes and deadlocks),
+    so the parent's dataset may have advanced epochs or been repointed at
+    a fresh scene bank since the fork — sync the child copy before
+    reading."""
+    i, epoch, root = args
+    ds = _WORKER_DS
+    if epoch is not None and getattr(ds, "epoch", None) != epoch:
+        ds.epoch = epoch
+    if root is not None and str(getattr(ds, "dataset_dir", None)) != str(root):
+        ds.repoint(root)
+    return ds[int(i)]
+
+
 class PrefetchLoader:
     def __init__(
         self,

@@ -62,7 +62,7 @@ from fastposecnn_tpu.train.loop import make_run_dir
 from fastposecnn_tpu.utils.tb import RunLogger
 
 
-def stage_dataset(ds, num_workers: int = 1) -> Optional[dict]:
+def stage_dataset(ds, num_workers: int = 1, pool=None) -> Optional[dict]:
     """Materialize every sample of a NOCSDataset into stacked host arrays
     (compact wire dtypes preserved: uint8 images/masks).
 
@@ -72,19 +72,38 @@ def stage_dataset(ds, num_workers: int = 1) -> Optional[dict]:
     is the staged trainer's per-cycle overhead, so on multi-core hosts
     this divides the one host-bound cost the scan-epoch path has left.
     Augmentation draws are keyed on (seed, epoch, index), so worker
-    partitioning cannot change the result; set ds.epoch BEFORE calling."""
+    partitioning cannot change the result; set ds.epoch BEFORE calling.
+
+    Pass `pool` (a ProcessPoolExecutor whose workers were initialized with
+    this dataset) to reuse a PERSISTENT pool instead of forking per call:
+    required inside fit_staged, where a late fork would race the async
+    checkpoint-flush thread (a child forked mid-device_get inherits locked
+    JAX/allocator mutexes). Each task ships (index, epoch, dataset_dir) so
+    long-lived workers track epoch advances and bank repoints."""
     from fastposecnn_tpu.data.nocs import collate
 
-    if num_workers > 1:
+    if pool is not None:
+        from fastposecnn_tpu.data.loader import _worker_stage_get
+
+        epoch = getattr(ds, "epoch", None)
+        root = getattr(ds, "dataset_dir", None)
+        samples = list(
+            pool.map(
+                _worker_stage_get,
+                [(i, epoch, root) for i in range(len(ds))],
+                chunksize=max(1, len(ds) // (pool._max_workers * 8)),
+            )
+        )
+    elif num_workers > 1:
         from concurrent.futures import ProcessPoolExecutor
 
         from fastposecnn_tpu.data.loader import _init_worker, _worker_get
 
         with ProcessPoolExecutor(
             num_workers, initializer=_init_worker, initargs=(ds,)
-        ) as pool:
+        ) as tpool:
             samples = list(
-                pool.map(
+                tpool.map(
                     _worker_get,
                     range(len(ds)),
                     chunksize=max(1, len(ds) // (num_workers * 8)),
@@ -212,6 +231,20 @@ def fit_staged(
     valid_epoch_j = jax.jit(valid_epoch)
 
     # ---- stage the data ----
+    # Restage forks must NOT happen after the async flush thread exists (a
+    # child forked mid-device_get inherits locked JAX/allocator mutexes):
+    # the worker pool forks ONCE here, up front, and every restage ships
+    # (epoch, bank dir) into the long-lived workers instead.
+    stage_pool = None
+    if hp.NUM_WORKERS > 1:
+        from concurrent.futures import ProcessPoolExecutor
+
+        from fastposecnn_tpu.data.loader import _init_worker
+
+        stage_pool = ProcessPoolExecutor(
+            hp.NUM_WORKERS, initializer=_init_worker, initargs=(train_ds,)
+        )
+
     def stage(split_epoch):
         if regen_fn is not None and split_epoch:
             # Regenerate the backing scenes themselves (fresh geometry, not
@@ -221,14 +254,16 @@ def fit_staged(
             # (train CE 0.27->0.06 while val climbed 2.5->3.3).
             regen_fn(split_epoch)
         train_ds.epoch = split_epoch  # advances augmentation draws
-        host_train = stage_dataset(train_ds, num_workers=hp.NUM_WORKERS)
+        host_train = stage_dataset(train_ds, pool=stage_pool)
         if host_train is None:
             raise SystemExit("staged trainer: empty training dataset")
         return host_train, jax.device_put(host_train)
 
     t0 = time.perf_counter()
-    host_train, dev_train = stage(0)
+    # Valid is staged once, before any flush thread can exist — a
+    # transient fork pool is still safe here.
     host_valid = stage_dataset(valid_ds, num_workers=hp.NUM_WORKERS)
+    host_train, dev_train = stage(0)
     dev_valid = jax.device_put(host_valid) if host_valid else None
     n_train = host_train["image"].shape[0]
     n_valid = host_valid["image"].shape[0] if host_valid else 0
@@ -458,6 +493,10 @@ def fit_staged(
         if log_cb is not None:
             log_cb(epoch, val_loss, pose_vals)
 
+    if stage_pool is not None:
+        # On abnormal exits concurrent.futures' atexit hook reaps the
+        # workers; this is the normal-path cleanup.
+        stage_pool.shutdown()
     if flush_thread is not None:
         flush_thread.join()
     if best_state is not None:

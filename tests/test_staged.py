@@ -172,3 +172,37 @@ def test_bank_pool_dir_persists_across_runs(tmp_path, monkeypatch):
     assert banks_after_first <= banks_after_second
     logs = sorted((tmp_path / "logs").rglob("run.log"))
     assert len(logs) == 2
+
+
+def test_stage_dataset_persistent_pool_tracks_epoch_and_repoint(tmp_path):
+    """The staged trainer's long-lived fork pool (forked ONCE, before the
+    async flush thread exists) must follow later epoch advances and bank
+    repoints in the parent — each task ships (index, epoch, dataset_dir)."""
+    from concurrent.futures import ProcessPoolExecutor
+
+    from fastposecnn_tpu.data.loader import _init_worker
+    from fastposecnn_tpu.data.nocs import NOCSDataset
+    from fastposecnn_tpu.data.nocs_writer import write_synthetic_nocs
+    from fastposecnn_tpu.data.synthetic import SceneConfig
+
+    scfg = SceneConfig(height=64, width=64, max_instances=4,
+                       render_pose_cues=True)
+    bank1 = write_synthetic_nocs(tmp_path / "b1", 4, 0, scfg)
+    bank2 = write_synthetic_nocs(tmp_path / "b2", 4, 5, scfg)
+    ds = NOCSDataset(bank1, dataset_name="CAMERA", max_instances=4,
+                     augmentation="train")
+    pool = ProcessPoolExecutor(2, initializer=_init_worker, initargs=(ds,))
+    try:
+        ds.epoch = 1
+        pooled = stage_dataset(ds, pool=pool)
+        serial = stage_dataset(ds)
+        np.testing.assert_array_equal(pooled["image"], serial["image"])
+        # advance epoch AND repoint at a different bank after the fork
+        ds.repoint(bank2)
+        ds.epoch = 2
+        pooled2 = stage_dataset(ds, pool=pool)
+        serial2 = stage_dataset(ds)
+        np.testing.assert_array_equal(pooled2["image"], serial2["image"])
+        assert not np.array_equal(pooled["image"], pooled2["image"])
+    finally:
+        pool.shutdown()
