@@ -329,21 +329,25 @@ void fpcnn_aug_clahe(float* img, int h, int w, int tiles, float clip_limit) {
   for (int tj = 0; tj < t; ++tj)
     for (int x = xs[tj]; x < xs[tj + 1]; ++x) col_tile[x] = tj;
 
-  // Pass 1: hsv + quantized value + per-tile histograms.
+  // Pass 1a (vectorizable — no scatter in the body): hsv + quantized
+  // value. Kept separate from the histogram accumulation below, whose
+  // data-dependent increment would block vectorization of the hsv math.
+  for (size_t i = 0; i < n; ++i) {
+    const float* p = img + 3 * i;
+    float hh, ss, vv;
+    rgb2hsv_px(clamp01(p[0]), clamp01(p[1]), clamp01(p[2]), &hh, &ss, &vv);
+    harr[i] = hh;
+    sarr[i] = ss;
+    int q = (int)(vv * 255.0f);  // truncation, matches astype(int32)
+    vq[i] = (uint8_t)(q < 0 ? 0 : (q > 255 ? 255 : q));
+  }
+  // Pass 1b (scalar): per-tile histograms.
   std::vector<double> hist((size_t)t * t * 256, 0.0);
   for (int y = 0; y < h; ++y) {
     double* hrow = hist.data() + (size_t)row_tile[y] * t * 256;
-    for (int x = 0; x < w; ++x) {
-      size_t i = (size_t)y * w + x;
-      const float* p = img + 3 * i;
-      float hh, ss, vv;
-      rgb2hsv_px(clamp01(p[0]), clamp01(p[1]), clamp01(p[2]), &hh, &ss, &vv);
-      harr[i] = hh;
-      sarr[i] = ss;
-      int q = (int)(vv * 255.0f);  // truncation, matches astype(int32)
-      vq[i] = (uint8_t)(q < 0 ? 0 : (q > 255 ? 255 : q));
-      hrow[(size_t)col_tile[x] * 256 + vq[i]] += 1.0;
-    }
+    const uint8_t* vrow = vq.data() + (size_t)y * w;
+    for (int x = 0; x < w; ++x)
+      hrow[(size_t)col_tile[x] * 256 + vrow[x]] += 1.0;
   }
 
   // Pass 2: clip + redistribute + CDF -> per-tile LUTs (float32).
