@@ -147,10 +147,18 @@ def main(argv=None):
             "render_dir": None,
             "seed": (int(existing[-1].name.split("_")[1]) + 1
                      if existing else 2),
-            "log": open(tmp / "regen.log", "a"),
+            "log": None,  # opened lazily by the first _launch_bank
         }
 
         def _launch_bank() -> None:
+            if pool["seed"] == 99:
+                # Reserved for held-out evaluation (--synthetic_seed 99):
+                # guard at USE time, not only after the post-launch
+                # increment — a pool resumed at bank_98 would otherwise
+                # initialize seed=99 and train on the held-out scenes.
+                pool["seed"] += 1
+            if pool["log"] is None:
+                pool["log"] = open(tmp / "regen.log", "a")
             pool["render_dir"] = tmp / f"bank_{pool['seed']}.part"
             cmd = [
                 sys.executable, "-m", "fastposecnn_tpu.data.nocs_writer",
@@ -169,11 +177,6 @@ def main(argv=None):
                 cmd, env=env, stdout=pool["log"], stderr=pool["log"]
             )
             pool["seed"] += 1
-            if pool["seed"] == 99:
-                # Reserved for held-out evaluation (--synthetic_seed 99 in
-                # cli.evaluate / rotation_demo.sh): a long run's bank
-                # stream must never collide with the held-out set.
-                pool["seed"] += 1
 
         def _harvest() -> None:
             """If the background render finished, admit its bank to the pool
@@ -283,6 +286,13 @@ def main(argv=None):
         # Don't orphan an in-flight background bank render: it would keep
         # burning the host CPU (and tempdir disk) after training exits.
         bank_pool["proc"].terminate()
+        try:
+            bank_pool["proc"].wait(timeout=10)
+        except subprocess.TimeoutExpired:
+            bank_pool["proc"].kill()
+            bank_pool["proc"].wait()
+    if bank_pool is not None and bank_pool["log"] is not None:
+        bank_pool["log"].close()
     print(f"run dir: {run_dir}")
 
 

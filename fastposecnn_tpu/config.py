@@ -90,6 +90,11 @@ class HParams:
     # field at the GT class channels: quat vs the instance quaternion, xy
     # vs unit vectors to the instance center, z vs log-depth, scales vs
     # the normalized scales. See losses.dense_supervision.
+    #
+    # NOTE: voting is gradient-opaque (PARITY.md deliberate deviation), so
+    # DENSE_XY_WEIGHT is the only gradient path into the xy vote field —
+    # the HEAD_TRAINING preset enables it; task.py warns if a stage-2
+    # config leaves it at 0 with hough voting on.
     DENSE_QUAT_WEIGHT: float = 0.0
     DENSE_XY_WEIGHT: float = 0.0
     DENSE_Z_WEIGHT: float = 0.0
@@ -192,12 +197,21 @@ def mask_training(**overrides) -> HParams:
 
 
 def head_training(**overrides) -> HParams:
-    """Stage-2 preset: everything on (FPC/config.py:121-132)."""
+    """Stage-2 preset: everything on (FPC/config.py:121-132).
+
+    DENSE_XY_WEIGHT defaults ON here: voting is gradient-opaque in this
+    framework (deliberate deviation, PARITY.md "training dynamics" — the
+    reference differentiated through its LSQ refinement, which measurably
+    poisons the field, BASELINE.md root cause #4), so dense supervision is
+    the ONLY gradient path into the xy vote field. With it at 0 the
+    matched XYLoss is logged but trains nothing.
+    """
     base = dict(
         PERFORM_AGGREGATION=True,
         PERFORM_HOUGH_VOTING=True,
         PERFORM_RT_CALCULATION=True,
         PERFORM_MATCHING=True,
+        DENSE_XY_WEIGHT=1.0,
     )
     base.update(overrides)
     return dataclasses.replace(HParams(), **base)

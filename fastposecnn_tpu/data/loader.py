@@ -99,9 +99,23 @@ class PrefetchLoader:
     def __iter__(self) -> Iterator[Optional[dict]]:
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
+        stop = threading.Event()  # consumer abandoned iteration
         if hasattr(self.dataset, "epoch"):
             # augmentation draws vary per epoch (data/nocs.py _read_image)
             self.dataset.epoch = self.epoch
+
+        def _put(item) -> bool:
+            """Bounded put that aborts when the consumer is gone — a plain
+            out_q.put would block forever if the training loop broke out of
+            iteration (exception, early stop, GC'd generator), pinning this
+            thread and, with backend='process', the whole forked pool."""
+            while not stop.is_set():
+                try:
+                    out_q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             # The sentinel must reach the consumer on EVERY exit path —
@@ -122,25 +136,40 @@ class PrefetchLoader:
                 else:
                     pool = ThreadPoolExecutor(self.num_workers)
                     get = self.dataset.__getitem__
-                with pool:
+                with pool:  # shutdown(wait=True) reaps workers on any exit
                     for chunk in self._index_batches():
+                        if stop.is_set():
+                            break
                         samples = list(pool.map(get, chunk))
-                        out_q.put(collate(samples))
+                        if not _put(collate(samples)):
+                            break
             except BaseException as e:  # noqa: BLE001
-                out_q.put(("__loader_error__", e))
+                _put(("__loader_error__", e))
             finally:
-                out_q.put(sentinel)
+                _put(sentinel)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = out_q.get()
-            if item is sentinel:
-                break
-            if isinstance(item, tuple) and len(item) == 2 \
-                    and item[0] == "__loader_error__":
-                t.join()
-                raise item[1]
-            yield item  # may be None (all samples rejected) — callers skip
-        t.join()
-        self.epoch += 1
+        completed = False
+        try:
+            while True:
+                item = out_q.get()
+                if item is sentinel:
+                    completed = True
+                    break
+                if isinstance(item, tuple) and len(item) == 2 \
+                        and item[0] == "__loader_error__":
+                    raise item[1]
+                yield item  # may be None (all samples rejected) — skip
+        finally:
+            stop.set()
+            # Unblock a producer stuck in put, then wait for it to reap
+            # its worker pool.
+            while t.is_alive():
+                try:
+                    out_q.get_nowait()
+                except queue.Empty:
+                    pass
+                t.join(timeout=0.1)
+        if completed:
+            self.epoch += 1

@@ -79,7 +79,8 @@ _CLASS_TINTS = np.asarray(
 )
 
 
-def _raycast_box(R, T_m, half, intr, h, w, stripe_freq=0, tint=None):
+def _raycast_box(R, T_m, half, intr, inv_intr, h, w, stripe_freq=0,
+                 tint=None):
     """Ray-cast one oriented box; returns (hit [H,W] bool, rgb [H,W,3],
     depth_m [H,W]).
 
@@ -110,7 +111,6 @@ def _raycast_box(R, T_m, half, intr, h, w, stripe_freq=0, tint=None):
         return None  # keep instances fully in frame (GT stays exact)
 
     ys, xs = np.mgrid[y0:y1, x0:x1].astype(np.float64)
-    inv_intr = np.linalg.inv(intr)
     d_cam = np.stack([xs, ys, np.ones_like(xs)], -1) @ inv_intr.T
     d = d_cam @ R.T  # R @ d_cam, rowwise
     o = -R @ T_m  # ray origin in object space
@@ -160,9 +160,7 @@ def _generate_scene_raycast(
     import scipy.spatial.transform as _sst
 
     h, w = cfg.height, cfg.width
-    intr = constants.INTRINSICS[cfg.dataset].copy()
-    intr[0] *= w / constants.IMAGE_WIDTH
-    intr[1] *= h / constants.IMAGE_HEIGHT
+    intr = constants.scaled_intrinsics(cfg.dataset, h, w)
     inv_intr = np.linalg.inv(intr)
 
     g = cfg.max_instances
@@ -204,7 +202,7 @@ def _generate_scene_raycast(
         # the NOCS gradient) + class-coded stripe count as texture. Without
         # an invariant visual class signature the mask head cannot classify
         # unseen boxes and class-aware matching collapses.
-        cast = _raycast_box(R, T_m, inst_scales / 2.0, intr, h, w,
+        cast = _raycast_box(R, T_m, inst_scales / 2.0, intr, inv_intr, h, w,
                             stripe_freq=cls + 1,
                             tint=_CLASS_TINTS[(cls - 1) % len(_CLASS_TINTS)])
         if cast is None:
@@ -264,10 +262,7 @@ def generate_scene(rng: np.random.Generator, cfg: SceneConfig) -> Dict[str, np.n
         # its exact stream so seed-keyed goldens stay stable).
         return _generate_scene_raycast(rng, cfg)
     h, w = cfg.height, cfg.width
-    intr = constants.INTRINSICS[cfg.dataset].copy()
-    # Rescale intrinsics from the native 640x480 to the scene size.
-    intr[0] *= w / constants.IMAGE_WIDTH
-    intr[1] *= h / constants.IMAGE_HEIGHT
+    intr = constants.scaled_intrinsics(cfg.dataset, h, w)
 
     g = cfg.max_instances
     mask = np.zeros((h, w), np.int32)

@@ -165,6 +165,18 @@ def make_train_step(net, optimizer, hp: HParams, pcfg: PipelineConfig,
     """Builds the jittable train step closure."""
     inv_K = jnp.asarray(inv_intrinsics, jnp.float32)
     perform_matching = hp.PERFORM_MATCHING and pcfg.perform_aggregation
+    if (hp.PERFORM_HOUGH_VOTING and not hp.FREEZE_TRANSLATION_TRAINING
+            and hp.DENSE_XY_WEIGHT == 0.0):
+        # Voting is gradient-opaque (PARITY.md deliberate deviation): the
+        # matched XYLoss is still computed and logged but cannot reach the
+        # xy vote field; without dense supervision the field never trains.
+        print(
+            "WARNING: DENSE_XY_WEIGHT=0 with hough voting on — voting is "
+            "gradient-opaque, so the xy vote field receives NO gradient "
+            "(matched xy loss is logged only). Set --DENSE_XY_WEIGHT 1.0 "
+            "(the HEAD_TRAINING preset default) to train translation-xy.",
+            flush=True,
+        )
 
     def train_step(state: TrainState, batch, rng):
         batch = upcast_batch(batch)

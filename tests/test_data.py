@@ -176,3 +176,30 @@ class TestAugmentationWiring:
         second = [b["image"].copy() for b in loader if b is not None]
         assert ds.epoch == 1  # loader propagated its epoch
         assert not np.allclose(first[0], second[0])
+
+    def test_abandoned_iteration_stops_producer(self, tmp_path):
+        """Breaking out of loader iteration must not leave the producer
+        thread blocked on the bounded queue (with backend='process' that
+        thread pins a whole forked worker pool)."""
+        import threading
+        import time
+
+        from fastposecnn_tpu.data.loader import PrefetchLoader
+
+        cfg = SceneConfig(height=60, width=80)
+        write_synthetic_nocs(tmp_path, num_samples=8, scene_cfg=cfg)
+        ds = CAMERADataset(tmp_path, max_instances=8, normalize=False)
+        loader = PrefetchLoader(ds, 1, shuffle=False, num_workers=1,
+                                prefetch=1)
+        before = threading.active_count()
+        epoch_before = loader.epoch
+        for batch in loader:
+            break  # abandon after one batch; producer has 7 more queued up
+        deadline = time.monotonic() + 10.0
+        while threading.active_count() > before and \
+                time.monotonic() < deadline:
+            time.sleep(0.05)
+        assert threading.active_count() <= before, \
+            "producer thread still alive after abandoned iteration"
+        # an aborted epoch must not advance the shuffle/augment stream
+        assert loader.epoch == epoch_before
