@@ -14,7 +14,6 @@ from __future__ import annotations
 import argparse
 import os
 import pathlib
-import sys
 import tempfile
 
 import numpy as np
@@ -115,116 +114,23 @@ def main(argv=None):
         # set unbounded so the network cannot memorize a fixed scene bank.
         # Rendering a 1024-scene bank takes ~3 min on this 1-core host —
         # far more than the ~15 s of 1.4 s staged epochs between restages —
-        # so a single render can NOT feed a double-buffer without stalling.
-        # Instead the CLI keeps a rotating POOL of bank directories: each
-        # restage round-robins the dataset onto the next already-rendered
-        # bank (cost = the ~35 s re-stage read only, never a render wait)
-        # while one background process continuously renders new banks into
-        # the pool, evicting the oldest when it exceeds the cap. Freshness
-        # then tracks renderer throughput (~1 bank / 3 min) and the live
-        # diversity is cap x bank_size scenes, with zero training stalls.
-        import shutil
-        import subprocess
+        # so a single render can NOT feed a double-buffer without stalling;
+        # BankPool keeps a rotating pool of pre-rendered banks instead
+        # (see data/bank_pool.py for the full design + crash consistency).
+        from fastposecnn_tpu.data.bank_pool import BankPool
 
-        # A persistent pool dir (--bank_pool_dir) may already hold banks
-        # from an interrupted run: adopt completed ones (renders go to a
-        # `.part` dir and are renamed only on success, so anything named
-        # bank_N is whole) and clear orphaned partials.
-        existing = sorted(
-            (d for d in tmp.glob("bank_[0-9]*") if d.is_dir()
-             and not d.name.endswith(".part")),
-            key=lambda d: int(d.name.split("_")[1]),
+        bank_pool = BankPool(
+            tmp, scene_count=args.synthetic,
+            height=hp.IMAGE_HEIGHT, width=hp.IMAGE_WIDTH,
+            num_classes=hp.num_classes, max_instances=hp.MAX_INSTANCES,
+            pose_cues=args.synthetic_pose_cues, initial=[tmp / "train"],
         )
-        for part in tmp.glob("bank_*.part"):
-            shutil.rmtree(part, ignore_errors=True)
-
-        pool = {
-            # rendered, ready-to-stage banks
-            "dirs": [tmp / "train"] + existing,
-            "rr": 0,                  # round-robin cursor
-            "cap": 6,
-            "proc": None,
-            "render_dir": None,
-            "seed": (int(existing[-1].name.split("_")[1]) + 1
-                     if existing else 2),
-            "log": None,  # opened lazily by the first _launch_bank
-        }
-
-        def _launch_bank() -> None:
-            if pool["seed"] == 99:
-                # Reserved for held-out evaluation (--synthetic_seed 99):
-                # guard at USE time, not only after the post-launch
-                # increment — a pool resumed at bank_98 would otherwise
-                # initialize seed=99 and train on the held-out scenes.
-                pool["seed"] += 1
-            if pool["log"] is None:
-                pool["log"] = open(tmp / "regen.log", "a")
-            pool["render_dir"] = tmp / f"bank_{pool['seed']}.part"
-            cmd = [
-                sys.executable, "-m", "fastposecnn_tpu.data.nocs_writer",
-                "--out", str(pool["render_dir"]),
-                "--num", str(args.synthetic),
-                "--seed", str(pool["seed"]),
-                "--height", str(hp.IMAGE_HEIGHT),
-                "--width", str(hp.IMAGE_WIDTH),
-                "--num_classes", str(hp.num_classes),
-                "--max_instances", str(hp.MAX_INSTANCES),
-            ]
-            if args.synthetic_pose_cues:
-                cmd.append("--pose_cues")
-            env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
-            pool["proc"] = subprocess.Popen(
-                cmd, env=env, stdout=pool["log"], stderr=pool["log"]
-            )
-            pool["seed"] += 1
-
-        def _harvest() -> None:
-            """If the background render finished, admit its bank to the pool
-            (evicting the oldest beyond the cap) and start the next one."""
-            if pool["proc"] is None or pool["proc"].poll() is None:
-                return
-            if pool["proc"].returncode != 0:
-                # A renderer hiccup must not abort hours of device training:
-                # keep rotating the existing banks and retry (bounded — a
-                # deterministic failure should still surface, loudly).
-                pool["fails"] = pool.get("fails", 0) + 1
-                if pool["fails"] > 3:
-                    raise RuntimeError(
-                        f"background scene-bank render failed "
-                        f"{pool['fails']} times in a row (last exit "
-                        f"{pool['proc'].returncode}); see {tmp / 'regen.log'}"
-                    )
-                print(
-                    f"WARNING: background scene-bank render failed (exit "
-                    f"{pool['proc'].returncode}, attempt {pool['fails']}/3); "
-                    f"continuing on {len(pool['dirs'])} pooled bank(s), "
-                    f"retrying — see {tmp / 'regen.log'}",
-                    flush=True,
-                )
-                shutil.rmtree(pool["render_dir"], ignore_errors=True)
-                _launch_bank()
-                return
-            pool["fails"] = 0
-            done = pool["render_dir"].with_name(
-                pool["render_dir"].name[: -len(".part")]
-            )
-            pool["render_dir"].rename(done)
-            pool["dirs"].append(done)
-            if len(pool["dirs"]) > pool["cap"]:
-                victim = pool["dirs"].pop(0)
-                if pool["rr"] > 0:
-                    pool["rr"] -= 1
-                shutil.rmtree(victim, ignore_errors=True)
-            _launch_bank()
 
         def synth_regen(epoch: int) -> None:
-            _harvest()
-            pool["rr"] = (pool["rr"] + 1) % len(pool["dirs"])
-            train_ds.repoint(pool["dirs"][pool["rr"]])
+            train_ds.repoint(bank_pool.rotate())
 
         if args.stage_on_device and args.restage_every:
-            _launch_bank()  # start filling the pool during compile + epoch 0
-        bank_pool = pool
+            bank_pool.launch()  # fill the pool during compile + epoch 0
     else:
         bank_pool = None
     if not train_dir or not valid_dir:
@@ -259,40 +165,34 @@ def main(argv=None):
 
     inv_K = np.linalg.inv(constants.scaled_intrinsics(
         hp.DATASET_NAME, hp.IMAGE_HEIGHT, hp.IMAGE_WIDTH))
-    if args.stage_on_device:
-        from fastposecnn_tpu.train.staged import fit_staged
+    try:
+        if args.stage_on_device:
+            from fastposecnn_tpu.train.staged import fit_staged
 
-        if hp.NUM_DEVICES > 1:
-            print(
-                f"WARNING: --stage_on_device trains on a SINGLE device; "
-                f"--NUM_DEVICES {hp.NUM_DEVICES} is ignored (the streaming "
-                f"trainer supports the dp/tp mesh)."
+            if hp.NUM_DEVICES > 1:
+                print(
+                    f"WARNING: --stage_on_device trains on a SINGLE device; "
+                    f"--NUM_DEVICES {hp.NUM_DEVICES} is ignored (the "
+                    f"streaming trainer supports the dp/tp mesh)."
+                )
+
+            state, run_dir = fit_staged(
+                hp, train_ds, valid_ds, inv_K,
+                enable_tb=not args.no_tb, num_epochs=args.epochs,
+                resume_from=args.resume, restage_every=args.restage_every,
+                regen_fn=synth_regen if args.synthetic else None,
             )
-
-        state, run_dir = fit_staged(
-            hp, train_ds, valid_ds, inv_K,
-            enable_tb=not args.no_tb, num_epochs=args.epochs,
-            resume_from=args.resume, restage_every=args.restage_every,
-            regen_fn=synth_regen if args.synthetic else None,
-        )
-    else:
-        state, run_dir = fit(
-            hp, train_loader, valid_loader, inv_K,
-            enable_tb=not args.no_tb, num_epochs=args.epochs,
-            resume_from=args.resume,
-        )
-    if bank_pool is not None and bank_pool["proc"] is not None \
-            and bank_pool["proc"].poll() is None:
-        # Don't orphan an in-flight background bank render: it would keep
-        # burning the host CPU (and tempdir disk) after training exits.
-        bank_pool["proc"].terminate()
-        try:
-            bank_pool["proc"].wait(timeout=10)
-        except subprocess.TimeoutExpired:
-            bank_pool["proc"].kill()
-            bank_pool["proc"].wait()
-    if bank_pool is not None and bank_pool["log"] is not None:
-        bank_pool["log"].close()
+        else:
+            state, run_dir = fit(
+                hp, train_loader, valid_loader, inv_K,
+                enable_tb=not args.no_tb, num_epochs=args.epochs,
+                resume_from=args.resume,
+            )
+    finally:
+        # Also on a crashed/interrupted fit: don't orphan the in-flight
+        # bank render — it would keep burning host CPU and pool-dir disk.
+        if bank_pool is not None:
+            bank_pool.shutdown()
     print(f"run dir: {run_dir}")
 
 
