@@ -14,6 +14,16 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
+# Optional persistent scene-bank pool (data/bank_pool.py): stage 1 and
+# stage 2 use the identical scene config, so sharing one pool dir lets
+# stage 2 adopt stage 1's already-rendered banks, and a relaunch after a
+# device outage skips the ~1 min/bank render cost entirely.
+BANK_POOL_DIR=${BANK_POOL_DIR:-}
+POOL_ARGS=()
+if [ -n "$BANK_POOL_DIR" ]; then
+  POOL_ARGS=(--bank_pool_dir "$BANK_POOL_DIR")
+fi
+
 SIZE_ARGS=(--IMAGE_HEIGHT 224 --IMAGE_WIDTH 320 --BATCH_SIZE 8
   --TRAIN_SIZE 1024 --VALID_SIZE 128 --MAX_INSTANCES 8
   --MAX_VOTE_POINTS 1024 --HV_NUM_OF_HYPOTHESES 128)
@@ -26,7 +36,7 @@ STAGED_ARGS=(--stage_on_device --restage_every 10 --CKPT_SAVE_FREQUENCY 50
 # staged; stop when val fg-IoU plateaus, ~50-100 epochs).
 python -m fastposecnn_tpu.cli.train -e DEMO_S1 --preset MASK_TRAINING \
   --synthetic 1024 --synthetic_pose_cues "${SIZE_ARGS[@]}" \
-  "${STAGED_ARGS[@]}" --epochs 100
+  "${STAGED_ARGS[@]}" "${POOL_ARGS[@]}" --epochs 100
 
 S1=$(ls -dt logs/*/*DEMO_S1* | head -1)
 
@@ -35,7 +45,7 @@ S1=$(ls -dt logs/*/*DEMO_S1* | head -1)
 # encoder at 1e-5.
 python -m fastposecnn_tpu.cli.train -e DEMO_S2 --preset HEAD_TRAINING \
   --synthetic 1024 --synthetic_pose_cues "${SIZE_ARGS[@]}" \
-  "${DENSE_ARGS[@]}" "${STAGED_ARGS[@]}" --epochs 400 \
+  "${DENSE_ARGS[@]}" "${STAGED_ARGS[@]}" "${POOL_ARGS[@]}" --epochs 400 \
   --LEARNING_RATE 1e-4 --ENCODER_LEARNING_RATE 1e-5 \
   --resume "$S1/checkpoints/best"
 
