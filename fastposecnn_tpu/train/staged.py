@@ -245,7 +245,7 @@ def fit_staged(
             hp.NUM_WORKERS, initializer=_init_worker, initargs=(train_ds,)
         )
 
-    def stage(split_epoch):
+    def stage_host(split_epoch):
         if regen_fn is not None and split_epoch:
             # Regenerate the backing scenes themselves (fresh geometry, not
             # just fresh augmentation draws): with a generative source the
@@ -257,7 +257,39 @@ def fit_staged(
         host_train = stage_dataset(train_ds, pool=stage_pool)
         if host_train is None:
             raise SystemExit("staged trainer: empty training dataset")
+        return host_train
+
+    def stage(split_epoch):
+        host_train = stage_host(split_epoch)
         return host_train, jax.device_put(host_train)
+
+    # Restage prefetch: the host-side staging read (bank rotate + decode +
+    # augment + collate, ~35-450 s on this 1-core host) runs on a
+    # background thread DURING the K epochs of device training before the
+    # restage consumes it, so the restage pause shrinks to the device
+    # upload. The thread only mutates train_ds (which nothing touches
+    # between restages) and submits to the long-lived fork pool; it never
+    # forks, so it cannot race the async checkpoint-flush thread. Samples
+    # are keyed on (seed, epoch, index), so prefetching early is
+    # bit-identical to staging at the restage point.
+    prefetch_thread: Optional[threading.Thread] = None
+    prefetch_box: dict = {}
+
+    def prefetch_async(split_epoch):
+        nonlocal prefetch_thread
+
+        def work():
+            t0 = time.perf_counter()
+            try:
+                host = stage_host(split_epoch)
+                prefetch_box["host"] = host
+                prefetch_box["seconds"] = time.perf_counter() - t0
+            except BaseException as exc:  # noqa: BLE001 — surfaced at join
+                prefetch_box["error"] = exc
+
+        prefetch_box.clear()
+        prefetch_thread = threading.Thread(target=work, daemon=True)
+        prefetch_thread.start()
 
     t0 = time.perf_counter()
     # Valid is staged once, before any flush thread can exist — a
@@ -319,7 +351,11 @@ def fit_staged(
         flush_thread = threading.Thread(target=work, daemon=True)
         flush_thread.start()
 
-    for epoch in range(num_epochs or hp.NUM_EPOCHS):
+    total_epochs = num_epochs or hp.NUM_EPOCHS
+    if restage_every and restage_every < total_epochs:
+        prefetch_async(restage_every)
+
+    for epoch in range(total_epochs):
         if restage_every and epoch and epoch % restage_every == 0:
             # Persist the pending best BEFORE the restage pause: a tunnel
             # outage mid-restage (the round-3 ROT9 loss — 10 epochs of the
@@ -334,7 +370,20 @@ def fit_staged(
                 flog.info("flushed best checkpoint before restage at epoch %d",
                           epoch)
             restage_t0 = time.perf_counter()
-            host_train, dev_train = stage(epoch)
+            if prefetch_thread is not None:
+                prefetch_thread.join()
+                prefetch_thread = None
+                host_train = prefetch_box.pop("host", None)
+                bg_s = prefetch_box.pop("seconds", 0.0)
+                if host_train is None:
+                    flog.warning(
+                        "background restage prefetch failed (%r); restaging "
+                        "synchronously", prefetch_box.pop("error", None),
+                    )
+                    host_train = stage_host(epoch)
+            else:
+                bg_s = 0.0
+                host_train = stage_host(epoch)
             # A regenerated split may collate to a different sample count
             # (z<=0 scene rejection). The staged arrays' leading dim is a
             # jit input shape — letting it drift would recompile the epoch
@@ -344,11 +393,15 @@ def fit_staged(
             if n_new != n_train:
                 idx = np.resize(np.arange(n_new), n_train)
                 host_train = jax.tree.map(lambda a: a[idx], host_train)
-                dev_train = jax.device_put(host_train)
+            dev_train = jax.device_put(host_train)
             flog.info(
-                "restaged %d train samples (%d generated) at epoch %d in %.1f s",
-                n_train, n_new, epoch, time.perf_counter() - restage_t0,
+                "restaged %d train samples (%d generated) at epoch %d in "
+                "%.1f s (background prefetch %.1f s)",
+                n_train, n_new, epoch, time.perf_counter() - restage_t0, bg_s,
             )
+            nxt = epoch + restage_every
+            if nxt < total_epochs:
+                prefetch_async(nxt)
 
         epoch_t0 = time.perf_counter()
         host_step0 = int(jax.device_get(state.step))

@@ -111,6 +111,8 @@ def test_staged_cli_restage_regenerates_fresh_scenes(tmp_path, monkeypatch):
     ])
     log = next((tmp_path / "logs").rglob("run.log")).read_text()
     assert "restaged 4 train samples (4 generated) at epoch 2" in log
+    # the restage read ran on the background prefetch thread
+    assert "background prefetch" in log
     # Outage resilience: the pending best is persisted BEFORE the restage
     # pause, so a tunnel loss mid-restage costs at most one cycle (ROT9).
     assert "flushed best checkpoint before restage at epoch 2" in log
