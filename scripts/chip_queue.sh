@@ -1,30 +1,58 @@
 #!/bin/bash
-# Post-demo chip measurement queue (round-3 VERDICT evidence items).
-# Run on the real TPU attachment once the chip is free. Each step is
-# independently timed-out and failure-tolerant so one wedge cannot block
-# the rest; logs land in /tmp/q_*.log for BASELINE.md transcription.
+# On-chip work queue for TPU-tunnel return (round-3 VERDICT evidence).
+# Quick measurement items FIRST so they are guaranteed evidence even if
+# the session ends mid-queue, then the long from-scratch rotation
+# demonstration (VERDICT r2 #1 — the VM restart that wiped /tmp and
+# logs/ lost every ROT-lineage checkpoint, so the demo restarts from
+# scratch via scripts/rotation_demo.sh, which encodes all the root-cause
+# fixes from epoch 0).
 #
-#   1. bench.py                      — e2e FPS after the round-3 stem
-#                                      changes (was 283.2, BENCH_r02)
-#   2. scripts/chip_check.py         — extended on-chip parity (soft
-#                                      voting, VP, dense LSQ; VERDICT #9)
+#   1. bench.py                        — e2e FPS after the round-3 stem
+#                                        changes (was 283.2, BENCH_r02)
+#   2. scripts/chip_check.py           — extended on-chip parity (soft
+#                                        voting, VP, dense LSQ; VERDICT #9)
 #   3. scripts/probe_fused_laterals.py — 1x1 lateral/head fusion A/B
-#                                      (VERDICT #5)
-#   4. scripts/profile_train_trace.py HEAD_TRAINING — stage-2 step
-#                                      xplane time, <20 ms goal (VERDICT #6)
+#                                        (VERDICT #5)
+#   4. profile_train_trace.py          — stage-2 step xplane time,
+#                                        <20 ms goal (VERDICT #6)
+#   5. scripts/rotation_demo.sh        — two-stage from-scratch rotation
+#                                        proof + seed-99 held-out eval
+#                                        (VERDICT #1)
+#
+# Each step is independently timed out and failure-tolerant; logs land in
+# /tmp/q_*.log AND are committed into evidence/ immediately (a VM restart
+# wipes /tmp, so /tmp is not durable storage).
 cd "$(dirname "$0")/.."
+export BANK_POOL_DIR=${BANK_POOL_DIR:-/tmp/rot_banks}
 
-run() {
-  local name=$1; shift
-  echo "=== chip_queue: $name start $(date -u +%H:%M:%S) ==="
-  timeout 1800 "$@" >"/tmp/q_${name}.log" 2>&1
-  local rc=$?
-  echo "=== chip_queue: $name exit=$rc ==="
-  tail -5 "/tmp/q_${name}.log"
+run() {  # run <timeout_s> <name> <cmd...>
+  local t=$1 name=$2; shift 2
+  echo "=== chip_queue: $name start $(date -u +%H:%M:%S) ===" | tee -a /tmp/chip_queue.log
+  timeout "$t" "$@" >"/tmp/q_${name}.log" 2>&1
+  echo "=== chip_queue: $name exit=$? $(date -u +%H:%M:%S) ===" | tee -a /tmp/chip_queue.log
+  tail -3 "/tmp/q_${name}.log" >> /tmp/chip_queue.log
+  mkdir -p evidence
+  cp "/tmp/q_${name}.log" "evidence/q_${name}.log"
+  git add "evidence/q_${name}.log"
+  git commit -q -m "Record on-chip ${name} log (round-3 measurement queue)" || true
 }
 
-run bench         python bench.py
-run chip_check    python scripts/chip_check.py
-run probe_lateral python scripts/probe_fused_laterals.py
-run stage2_trace  python scripts/profile_train_trace.py HEAD_TRAINING
-echo "=== chip_queue: done $(date -u +%H:%M:%S) ==="
+run 900   bench         python bench.py
+run 1800  chip_check    python scripts/chip_check.py
+run 1800  probe_lateral python scripts/probe_fused_laterals.py
+run 1800  stage2_trace  python scripts/profile_train_trace.py HEAD_TRAINING
+run 14000 rot_demo      bash scripts/rotation_demo.sh
+
+# Preserve the rotation-demo artifacts across VM restarts: run logs,
+# training-curve plots, held-out eval outputs.
+mkdir -p evidence/rot_demo
+for d in logs/*/*DEMO_S1* logs/*/*DEMO_S2*; do
+  [ -e "$d/run.log" ] || continue
+  cp "$d/run.log" "evidence/rot_demo/$(basename "$d").run.log"
+  python scripts/plot_run.py "$d" \
+    --out "evidence/rot_demo/$(basename "$d").curves" || true
+done
+cp -r /tmp/rot_demo_eval evidence/rot_demo/eval 2>/dev/null || true
+git add -A evidence/ && git commit -q -m "Record rotation-demo run logs and held-out eval" || true
+echo "=== chip_queue: done $(date -u +%H:%M:%S) ===" | tee -a /tmp/chip_queue.log
+touch /tmp/chip_queue_done

@@ -24,35 +24,57 @@ if [ -n "$BANK_POOL_DIR" ]; then
   POOL_ARGS=(--bank_pool_dir "$BANK_POOL_DIR")
 fi
 
-SIZE_ARGS=(--IMAGE_HEIGHT 224 --IMAGE_WIDTH 320 --BATCH_SIZE 8
-  --TRAIN_SIZE 1024 --VALID_SIZE 128 --MAX_INSTANCES 8
-  --MAX_VOTE_POINTS 1024 --HV_NUM_OF_HYPOTHESES 128)
+# All scale knobs are env-overridable so the IDENTICAL script can be
+# smoke-tested end-to-end on CPU at tiny sizes before burning a chip
+# window on it: SMOKE=1 selects a ~64x64/handful-of-scenes/2-epoch config.
+if [ "${SMOKE:-0}" = "1" ]; then
+  NUM_SCENES=${NUM_SCENES:-8}; H=${H:-64}; W=${W:-64}; BS=${BS:-2}
+  TRAIN_SIZE=${TRAIN_SIZE:-8}; VALID_SIZE=${VALID_SIZE:-4}
+  VOTE_POINTS=${VOTE_POINTS:-128}; HYP=${HYP:-32}
+  S1_EPOCHS=${S1_EPOCHS:-2}; S2_EPOCHS=${S2_EPOCHS:-2}
+  RESTAGE=${RESTAGE:-1}; EVAL_SCENES=${EVAL_SCENES:-4}
+  # Distinct run names so a smoke run's logs/ dirs can never be picked
+  # up by a concurrent/later full demo's `ls -dt logs/*/*${EXP}_S1*`.
+  EXP=${EXP:-SMK}
+else
+  NUM_SCENES=${NUM_SCENES:-1024}; H=${H:-224}; W=${W:-320}; BS=${BS:-8}
+  TRAIN_SIZE=${TRAIN_SIZE:-1024}; VALID_SIZE=${VALID_SIZE:-128}
+  VOTE_POINTS=${VOTE_POINTS:-1024}; HYP=${HYP:-128}
+  S1_EPOCHS=${S1_EPOCHS:-100}; S2_EPOCHS=${S2_EPOCHS:-400}
+  RESTAGE=${RESTAGE:-10}; EVAL_SCENES=${EVAL_SCENES:-128}
+  EXP=${EXP:-DEMO}
+fi
+
+SIZE_ARGS=(--IMAGE_HEIGHT "$H" --IMAGE_WIDTH "$W" --BATCH_SIZE "$BS"
+  --TRAIN_SIZE "$TRAIN_SIZE" --VALID_SIZE "$VALID_SIZE" --MAX_INSTANCES 8
+  --MAX_VOTE_POINTS "$VOTE_POINTS" --HV_NUM_OF_HYPOTHESES "$HYP")
 DENSE_ARGS=(--DENSE_QUAT_WEIGHT 1.0 --DENSE_XY_WEIGHT 1.0
   --DENSE_Z_WEIGHT 1.0 --DENSE_SCALES_WEIGHT 1.0)
-STAGED_ARGS=(--stage_on_device --restage_every 10 --CKPT_SAVE_FREQUENCY 50
-  --PLATEAU_PATIENCE 100000)
+STAGED_ARGS=(--stage_on_device --restage_every "$RESTAGE"
+  --CKPT_SAVE_FREQUENCY 50 --PLATEAU_PATIENCE 100000)
 
 # Stage 1: mask pre-training on pose-cue synthetic scenes (~0.4 s/epoch
 # staged; stop when val fg-IoU plateaus, ~50-100 epochs).
-python -m fastposecnn_tpu.cli.train -e DEMO_S1 --preset MASK_TRAINING \
-  --synthetic 1024 --synthetic_pose_cues "${SIZE_ARGS[@]}" \
-  "${STAGED_ARGS[@]}" "${POOL_ARGS[@]}" --epochs 100
+python -m fastposecnn_tpu.cli.train -e "${EXP}_S1" --preset MASK_TRAINING \
+  --synthetic "$NUM_SCENES" --synthetic_pose_cues "${SIZE_ARGS[@]}" \
+  "${STAGED_ARGS[@]}" "${POOL_ARGS[@]}" --epochs "$S1_EPOCHS"
 
-S1=$(ls -dt logs/*/*DEMO_S1* | head -1)
+S1=$(ls -dt logs/*/*"${EXP}"_S1* | head -1)
 
 # Stage 2: full pipeline training with dense supervision; head LR 1e-4
 # (the reference's stage-2 1e-5 cannot move a fresh rotation branch),
 # encoder at 1e-5.
-python -m fastposecnn_tpu.cli.train -e DEMO_S2 --preset HEAD_TRAINING \
-  --synthetic 1024 --synthetic_pose_cues "${SIZE_ARGS[@]}" \
-  "${DENSE_ARGS[@]}" "${STAGED_ARGS[@]}" "${POOL_ARGS[@]}" --epochs 400 \
+python -m fastposecnn_tpu.cli.train -e "${EXP}_S2" --preset HEAD_TRAINING \
+  --synthetic "$NUM_SCENES" --synthetic_pose_cues "${SIZE_ARGS[@]}" \
+  "${DENSE_ARGS[@]}" "${STAGED_ARGS[@]}" "${POOL_ARGS[@]}" \
+  --epochs "$S2_EPOCHS" \
   --LEARNING_RATE 1e-4 --ENCODER_LEARNING_RATE 1e-5 \
   --resume "$S1/checkpoints/best"
 
-S2=$(ls -dt logs/*/*DEMO_S2* | head -1)
+S2=$(ls -dt logs/*/*"${EXP}"_S2* | head -1)
 
 # Evaluate on HELD-OUT synthetic scenes (seed 99 never appears in any
 # training bank: train banks use seeds 0,2,3,...; valid uses 1).
-python -m fastposecnn_tpu.cli.evaluate --synthetic 128 --synthetic_seed 99 \
-  --synthetic_pose_cues "${SIZE_ARGS[@]}" \
+python -m fastposecnn_tpu.cli.evaluate --synthetic "$EVAL_SCENES" \
+  --synthetic_seed 99 --synthetic_pose_cues "${SIZE_ARGS[@]}" \
   --CHECKPOINT "$S2/checkpoints/best" --output /tmp/rot_demo_eval
