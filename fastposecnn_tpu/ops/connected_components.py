@@ -234,26 +234,41 @@ def extract_instances(
     101-108). Area ranking (not first-N scan order) matters for noisy
     early-training masks: a scatter of small blobs above the real objects
     in scan order must not evict them and starve the pose losses. With
-    <= max_instances components the output is identical to keep-all.
+    <= max_instances components the output is identical to keep-all
+    regardless of area-estimate accuracy (every root keeps a positive
+    score, see epsilon below).
 
-    Implementation note (TPU): per-root areas come from one segment_sum
-    histogram (~0.04 ms at 480p on-chip); selection is a monotone
-    masked-max recurrence (K full reduces, max area then min root index as
-    tie-break) instead of top_k, whose sort-based lowering over H*W
-    measured ~10 ms at 480p.
+    Implementation note (TPU): the per-root area histogram is a
+    segment_sum, which lowers to a kCustom scatter that SERIALIZES per
+    update on TPU — over all H*W pixels it measured ~5.4 ms/step at 480p
+    (the round-3 279->152 FPS regression; an earlier "~0.04 ms"
+    microbenchmark was DCE'd by XLA and wrong). The histogram therefore
+    runs on a strided subsample of the label map chosen statically from
+    the image shape (~19k samples => stride 4 at 480x640, stride 1 — i.e.
+    bit-exact areas — for small images). Sampled counts rank large-vs-
+    small components exactly like true areas up to ~stride^2 resolution;
+    a +0.5 epsilon keeps zero-sample roots eligible so <=K components is
+    still keep-all. Selection is a monotone masked-max recurrence (K full
+    reduces, max score then min root index as tie-break) instead of
+    top_k, whose sort-based lowering over H*W measured ~10 ms at 480p.
     """
     b, h, w = labels.shape
     hw = h * w
+    # Static stride: ~19200 histogram updates regardless of resolution.
+    stride = max(1, int(round((hw / 19200.0) ** 0.5)))
 
     def per_image(lbl):
         flat = lbl.reshape(-1)
         lin = jnp.arange(hw, dtype=jnp.int32)
         is_root = flat == lin  # bg is -1, never equal
-        fg = flat >= 0
+        sub = lbl[::stride, ::stride].reshape(-1)
+        fg_s = sub >= 0
         areas = jax.ops.segment_sum(
-            fg.astype(jnp.float32), jnp.where(fg, flat, 0), num_segments=hw
+            fg_s.astype(jnp.float32), jnp.where(fg_s, sub, 0), num_segments=hw
         )
-        score = jnp.where(is_root, areas, -1.0)  # area at roots, else -1
+        # Epsilon keeps every root eligible even with zero samples
+        # (keep-all semantics for <= max_instances components).
+        score = jnp.where(is_root, areas + 0.5, -1.0)
 
         def pick_largest(taken, _):
             avail = jnp.where(taken, -1.0, score)

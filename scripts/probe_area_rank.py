@@ -19,7 +19,13 @@ fori timing gets DCE'd — see the verify skill notes).
 """
 
 import glob
+import os
+import pathlib
 import shutil
+import sys
+
+os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "upb")
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 import numpy as np
 
@@ -28,11 +34,10 @@ import jax.numpy as jnp
 from jax import lax
 
 from fastposecnn_tpu.ops.connected_components import (
-    _BIG, extract_instances, label,
+    _BIG, extract_instances, label_components as label,
 )
 
 H, W, B, K = 480, 640, 2, 16
-PROTO = "PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION"
 
 
 def device_time_ms(fn, *args, tag="fn", iters=5):
@@ -83,6 +88,25 @@ def _select(lbl, score, lin, hw):
     return masks.reshape(K, H, W).astype(jnp.float32), valid, roots
 
 
+def extract_exact(labels):
+    """Round-3 shipped code: full-image segment_sum histogram (the 5.4 ms
+    regression). Kept here verbatim as the A-side of the probe."""
+    hw = H * W
+
+    def per_image(lbl):
+        flat = lbl.reshape(-1)
+        lin = jnp.arange(hw, dtype=jnp.int32)
+        is_root = flat == lin
+        fg = flat >= 0
+        areas = jax.ops.segment_sum(
+            fg.astype(jnp.float32), jnp.where(fg, flat, 0), num_segments=hw
+        )
+        score = jnp.where(is_root, areas, -1.0)
+        return _select(lbl, score, lin, hw)
+
+    return jax.vmap(per_image)(labels)
+
+
 def extract_sampled(labels, stride=4):
     hw = H * W
 
@@ -131,30 +155,43 @@ def main():
     lbl = jax.block_until_ready(jax.jit(label)(fg))
 
     lab_j = jax.jit(label)
-    exact_j = jax.jit(lambda l: extract_instances(l, K, return_roots=True))
+    exact_j = jax.jit(extract_exact)
     sampled_j = jax.jit(extract_sampled)
     firstn_j = jax.jit(extract_firstn)
+    # The landed round-4 fix (adaptive-stride sampled histogram).
+    landed_j = jax.jit(lambda l: extract_instances(l, K, return_roots=True))
 
-    t_lab = device_time_ms(lab_j, fg, tag="label")
-    t_exact = device_time_ms(exact_j, lbl, tag="exact")
-    t_sampled = device_time_ms(sampled_j, lbl, tag="sampled")
-    t_firstn = device_time_ms(firstn_j, lbl, tag="firstn")
-
-    print(f"label (CC)      : {t_lab:7.3f} ms")
-    print(f"extract exact   : {t_exact:7.3f} ms")
-    print(f"extract sampled : {t_sampled:7.3f} ms")
-    print(f"extract firstN  : {t_firstn:7.3f} ms")
+    if jax.default_backend() == "tpu":
+        t_lab = device_time_ms(lab_j, fg, tag="label")
+        t_exact = device_time_ms(exact_j, lbl, tag="exact")
+        t_sampled = device_time_ms(sampled_j, lbl, tag="sampled")
+        t_firstn = device_time_ms(firstn_j, lbl, tag="firstn")
+        t_landed = device_time_ms(landed_j, lbl, tag="landed")
+        print(f"label (CC)      : {t_lab:7.3f} ms")
+        print(f"extract exact   : {t_exact:7.3f} ms")
+        print(f"extract sampled : {t_sampled:7.3f} ms")
+        print(f"extract firstN  : {t_firstn:7.3f} ms")
+        print(f"extract landed  : {t_landed:7.3f} ms")
+    else:
+        print("non-TPU backend: skipping device timing (smoke mode)")
+        for f, a in ((exact_j, lbl), (sampled_j, lbl), (firstn_j, lbl),
+                     (landed_j, lbl)):
+            jax.block_until_ready(f(a))
 
     # Agreement check on this input: sampled must keep the same large
     # components as exact (areas differ, set of kept roots should match
     # for well-separated sizes).
     me, ve, re_ = jax.device_get(exact_j(lbl))
     ms, vs, rs = jax.device_get(sampled_j(lbl))
+    ml, vl, rl = jax.device_get(landed_j(lbl))
     for b in range(B):
         a = set(re_[b][ve[b]].tolist())
         s = set(rs[b][vs[b]].tolist())
+        ld = set(rl[b][vl[b]].tolist())
         print(f"img{b}: exact keeps {len(a)}, sampled keeps {len(s)}, "
-              f"jaccard {len(a & s) / max(1, len(a | s)):.2f}")
+              f"landed keeps {len(ld)}, "
+              f"jaccard(exact,sampled) {len(a & s) / max(1, len(a | s)):.2f}, "
+              f"jaccard(exact,landed) {len(a & ld) / max(1, len(a | ld)):.2f}")
 
 
 if __name__ == "__main__":
