@@ -244,8 +244,9 @@ def extract_instances(
     (the round-3 279->152 FPS regression; an earlier "~0.04 ms"
     microbenchmark was DCE'd by XLA and wrong). The histogram therefore
     runs on a strided subsample of the label map chosen statically from
-    the image shape (~19k samples => stride 4 at 480x640, stride 1 — i.e.
-    bit-exact areas — for small images). Sampled counts rank large-vs-
+    the image shape (~4800 samples => stride 8 at 480x640, stride 1 —
+    i.e. bit-exact areas — for small images; on-chip: 5.668 ms full /
+    0.759 ms stride-4 / ~0.2 ms stride-8). Sampled counts rank large-vs-
     small components exactly like true areas up to ~stride^2 resolution;
     a +0.5 epsilon keeps zero-sample roots eligible so <=K components is
     still keep-all. Selection is a monotone masked-max recurrence (K full
@@ -254,8 +255,9 @@ def extract_instances(
     """
     b, h, w = labels.shape
     hw = h * w
-    # Static stride: ~19200 histogram updates regardless of resolution.
-    stride = max(1, int(round((hw / 19200.0) ** 0.5)))
+    # Static stride: ~4800 histogram updates regardless of resolution
+    # (TPU scatter cost is linear in update count).
+    stride = max(1, int(round((hw / 4800.0) ** 0.5)))
 
     def per_image(lbl):
         flat = lbl.reshape(-1)
