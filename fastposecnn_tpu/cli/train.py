@@ -73,6 +73,12 @@ def main(argv=None):
 
     hp = C.PRESETS[args.preset](EXPERIMENT_NAME=args.experiment)
     hp = C.apply_cli_overrides(hp, args)
+    if args.stage_on_device and args.restage_every:
+        hp = C.staged_plateau_defaults(
+            hp,
+            patience_explicit=args.PLATEAU_PATIENCE is not None,
+            factor_explicit=args.PLATEAU_FACTOR is not None,
+        )
 
     # Deterministic seeding (FPC/train.py:125-137).
     if hp.DETERMINISTIC:

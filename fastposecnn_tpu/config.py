@@ -287,6 +287,39 @@ def add_cli_overrides(parser: argparse.ArgumentParser, hp: HParams) -> None:
             parser.add_argument(f"--{f.name}", type=str, default=None)
 
 
+# Staged-mode ReduceLROnPlateau defaults. The reference's hard-coded
+# patience=2 / factor=0.25 (FPC/lib/pose_regressor.py:417-438) assumes an
+# "epoch" is a full pass over the real dataset; a device-resident staged
+# epoch over a small restaged bank is ~100x cheaper and its val loss is
+# noisy at restage boundaries. Replaying the committed round-3 demo traces
+# (evidence/rot_demo/DEMO_S{1,2}.csv) through plateau_update shows the
+# reference defaults collapse lr_scale to the 1e-4 floor by epoch 74 of
+# stage 2 — while geodesic rotation error was still at ~75 deg and falling
+# monotonically — whereas the longest no-improvement run during genuine
+# learning is 31 epochs (stage 2) / 7 (stage 1). Patience 50 clears that
+# noise run-length with margin; factor 0.5 halves instead of quartering so
+# a noise-triggered decay is recoverable. Pinned by
+# tests/test_plateau_staged.py replaying the recorded traces.
+STAGED_PLATEAU_PATIENCE = 50
+STAGED_PLATEAU_FACTOR = 0.5
+
+
+def staged_plateau_defaults(
+    hp: HParams, patience_explicit: bool, factor_explicit: bool
+) -> HParams:
+    """Swap in staged-mode plateau defaults unless the user set them.
+
+    Called by the train CLI only for --stage_on_device with restaging;
+    explicit --PLATEAU_PATIENCE/--PLATEAU_FACTOR flags always win.
+    """
+    updates = {}
+    if not patience_explicit:
+        updates["PLATEAU_PATIENCE"] = STAGED_PLATEAU_PATIENCE
+    if not factor_explicit:
+        updates["PLATEAU_FACTOR"] = STAGED_PLATEAU_FACTOR
+    return dataclasses.replace(hp, **updates) if updates else hp
+
+
 def apply_cli_overrides(hp: HParams, args: argparse.Namespace) -> HParams:
     updates = {}
     for f in dataclasses.fields(hp):

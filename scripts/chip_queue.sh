@@ -34,7 +34,8 @@ run() {  # run <timeout_s> <name> <cmd...>
   mkdir -p evidence
   cp "/tmp/q_${name}.log" "evidence/q_${name}.log"
   git add "evidence/q_${name}.log"
-  git commit -q -m "Record on-chip ${name} log (round-3 measurement queue)" || true
+  git commit -q -m "Record on-chip ${name} log (measurement queue)" \
+    -- "evidence/q_${name}.log" || true
 }
 
 run 900   bench         python bench.py
@@ -44,15 +45,21 @@ run 1800  stage2_trace  python scripts/profile_train_trace.py HEAD_TRAINING
 run 14000 rot_demo      bash scripts/rotation_demo.sh
 
 # Preserve the rotation-demo artifacts across VM restarts: run logs,
-# training-curve plots, held-out eval outputs.
+# training-curve plots, held-out eval outputs. Only the run dirs this
+# queue invocation produced (rotation_demo.sh writes their paths into
+# /tmp/rot_demo_rundirs, one per line) — not every historical DEMO dir.
 mkdir -p evidence/rot_demo
-for d in logs/*/*DEMO_S1* logs/*/*DEMO_S2*; do
-  [ -e "$d/run.log" ] || continue
-  cp "$d/run.log" "evidence/rot_demo/$(basename "$d").run.log"
-  python scripts/plot_run.py "$d" \
-    --out "evidence/rot_demo/$(basename "$d").curves" || true
-done
+if [ -f /tmp/rot_demo_rundirs ]; then
+  while IFS= read -r d; do
+    [ -e "$d/run.log" ] || continue
+    cp "$d/run.log" "evidence/rot_demo/$(basename "$d").run.log"
+    python scripts/plot_run.py "$d" \
+      --out "evidence/rot_demo/$(basename "$d").curves" || true
+  done < /tmp/rot_demo_rundirs
+fi
 cp -r /tmp/rot_demo_eval evidence/rot_demo/eval 2>/dev/null || true
-git add -A evidence/ && git commit -q -m "Record rotation-demo run logs and held-out eval" || true
+git add evidence/rot_demo && git commit -q \
+  -m "Record rotation-demo run logs and held-out eval" \
+  -- evidence/rot_demo || true
 echo "=== chip_queue: done $(date -u +%H:%M:%S) ===" | tee -a /tmp/chip_queue.log
 touch /tmp/chip_queue_done

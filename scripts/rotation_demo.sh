@@ -50,8 +50,12 @@ SIZE_ARGS=(--IMAGE_HEIGHT "$H" --IMAGE_WIDTH "$W" --BATCH_SIZE "$BS"
   --MAX_VOTE_POINTS "$VOTE_POINTS" --HV_NUM_OF_HYPOTHESES "$HYP")
 DENSE_ARGS=(--DENSE_QUAT_WEIGHT 1.0 --DENSE_XY_WEIGHT 1.0
   --DENSE_Z_WEIGHT 1.0 --DENSE_SCALES_WEIGHT 1.0)
+# Plateau LR: staged-mode defaults (patience 50 / factor 0.5, derived
+# from the recorded round-3 traces — see config.STAGED_PLATEAU_PATIENCE
+# and tests/test_plateau_staged.py) replace the round-3 PLATEAU_PATIENCE
+# 100000 escape hatch.
 STAGED_ARGS=(--stage_on_device --restage_every "$RESTAGE"
-  --CKPT_SAVE_FREQUENCY 50 --PLATEAU_PATIENCE 100000)
+  --CKPT_SAVE_FREQUENCY 50)
 
 # Stage 1: mask pre-training on pose-cue synthetic scenes (~0.4 s/epoch
 # staged; stop when val fg-IoU plateaus, ~50-100 epochs).
