@@ -272,15 +272,37 @@ def extract_instances(
         # (keep-all semantics for <= max_instances components).
         score = jnp.where(is_root, areas + 0.5, -1.0)
 
-        def pick_largest(taken, _):
-            avail = jnp.where(taken, -1.0, score)
-            best = jnp.max(avail)
-            cand = jnp.where((avail == best) & (best > 0.0), lin, _BIG)
-            root = jnp.min(cand)  # deterministic tie-break: smallest root
-            return taken | (lin == root), root
+        # Hierarchical iterative argmax. A flat masked-max recurrence costs
+        # K full passes over hw elements (round-3: 0.23 ms/frame at 480p in
+        # the while carry alone, plus 12 async slice DMAs of the hw-sized
+        # carry). Two-level: one full pass builds per-block maxima, then
+        # each of the K rounds touches one [blk] block + the [nb] block-max
+        # array — identical selection/tie-break semantics (max score, then
+        # smallest root index within the winning block; blocks are index-
+        # ordered so the smallest-index block wins ties via argmax-first).
+        blk = 1024
+        nb = -(-hw // blk)
+        padded = jnp.full((nb * blk,), -1.0, score.dtype).at[:hw].set(score)
+        blocks = padded.reshape(nb, blk)
+        bidx = jnp.arange(blk, dtype=jnp.int32)
 
-        _, roots = lax.scan(
-            pick_largest, jnp.zeros((hw,), bool), None, length=max_instances
+        def pick_largest(carry, _):
+            blocks, bmax = carry
+            best_b = jnp.argmax(bmax)  # first max block = smallest root
+            row = lax.dynamic_slice(blocks, (best_b, 0), (1, blk))[0]
+            off = jnp.argmax(row)  # first max in block = smallest root
+            root_lin = best_b * blk + off
+            root = jnp.where(row[off] > 0.0, root_lin, _BIG)
+            row = row.at[off].set(-1.0)
+            blocks = lax.dynamic_update_slice(blocks, row[None], (best_b, 0))
+            bmax = bmax.at[best_b].set(jnp.max(row))
+            return (blocks, bmax), root
+
+        (_, _), roots = lax.scan(
+            pick_largest,
+            (blocks, jnp.max(blocks, axis=1)),
+            None,
+            length=max_instances,
         )
         # Re-sort ascending by root index (invalid _BIG slots sink to the
         # end) so slot ordering stays scipy-compatible row-major.

@@ -76,6 +76,9 @@ python -m fastposecnn_tpu.cli.train -e "${EXP}_S2" --preset HEAD_TRAINING \
   --resume "$S1/checkpoints/best"
 
 S2=$(ls -dt logs/*/*"${EXP}"_S2* | head -1)
+# Tell chip_queue.sh exactly which run dirs this invocation produced so
+# its artifact-preservation step never sweeps historical DEMO dirs.
+printf '%s\n%s\n' "$S1" "$S2" > /tmp/rot_demo_rundirs
 
 # Evaluate on HELD-OUT synthetic scenes (seed 99 never appears in any
 # training bank: train banks use seeds 0,2,3,...; valid uses 1).
