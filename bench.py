@@ -95,14 +95,23 @@ def main():
             agg["RT"],
         )
 
-    # Warmup / compile
-    result = forward(variables, image)
+    # AOT-compile and dispatch through the compiled executable: a serving
+    # process calls one frozen program, and the compiled handle skips the
+    # per-call jit dispatch (signature re-canonicalization) that measured
+    # ~0.3-0.6 ms/iter through the remote-TPU tunnel
+    # (scripts/probe_dispatch.py: jit 3.63/3.28 ms/iter at 30/100 iters vs
+    # AOT 3.01; dropping the dense mask output changes nothing, so the
+    # cost is dispatch, not output handling).
+    forward_c = forward.lower(variables, image).compile()
+
+    # Warmup
+    result = forward_c(variables, image)
     jax.block_until_ready(result)
 
-    iters = 30 if on_tpu else 3
+    iters = 100 if on_tpu else 3
     t0 = time.perf_counter()
     for _ in range(iters):
-        result = forward(variables, image)
+        result = forward_c(variables, image)
     jax.block_until_ready(result)
     dt = (time.perf_counter() - t0) / iters
     fps = 1.0 / dt
