@@ -65,8 +65,42 @@ def top_ops(trace_dir: str, top_n: int = 25, skip_copies: bool = False):
     return rows, total
 
 
+def module_spans(trace_dir: str):
+    """Per-execution XLA-Modules spans: the TRUE device wall per step.
+    (Summed async-copy op durations are start->done including queue wait
+    and massively overlap — they are NOT additive wall time; round-3 read
+    449/565 ms of 'copies' off a 45 ms step that way.)"""
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
+    files = glob.glob(f"{trace_dir}/**/*.xplane.pb", recursive=True)
+    if not files:
+        raise SystemExit(f"no xplane.pb under {trace_dir}")
+    xspace = xplane_pb2.XSpace()
+    with open(sorted(files)[-1], "rb") as f:
+        xspace.ParseFromString(f.read())
+    per_mod = collections.defaultdict(list)
+    for plane in xspace.planes:
+        if "TPU" not in plane.name and "/device:" not in plane.name:
+            continue
+        for line in plane.lines:
+            if "XLA Modules" not in line.name:
+                continue
+            for ev in line.events:
+                name = xspace_name = plane.event_metadata[ev.metadata_id].name
+                per_mod[name.split("(")[0]].append(ev.duration_ps / 1e9)
+    print("-- module spans (per-execution device wall, ms) --")
+    for name, ts in sorted(per_mod.items()):
+        ts.sort()
+        med = ts[len(ts) // 2]
+        print(f"{name[:60]:60s} n={len(ts):3d} median={med:8.3f} "
+              f"min={ts[0]:8.3f} max={ts[-1]:8.3f}")
+
+
 if __name__ == "__main__":
-    args = [a for a in sys.argv[1:] if a != "--nocopy"]
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
     d = args[0] if args else "/tmp/jax_trace"
     n = int(args[1]) if len(args) > 1 else 25
-    top_ops(d, n, skip_copies="--nocopy" in sys.argv)
+    if "--spans" in sys.argv:
+        module_spans(d)
+    else:
+        top_ops(d, n, skip_copies="--nocopy" in sys.argv)
