@@ -27,6 +27,14 @@ def main():
     import sys
     preset = sys.argv[1] if len(sys.argv) > 1 else "MASK_TRAINING"
     hp = C.PRESETS[preset](BATCH_SIZE=2)
+    if "nodense" in sys.argv[2:]:
+        # A/B the cost of round-3's dense supervision (the round-2 24.4 ms
+        # step predates it): zero dense weights compile the step without
+        # the dense loss terms' forward+backward.
+        hp = dataclasses.replace(
+            hp, DENSE_QUAT_WEIGHT=0.0, DENSE_XY_WEIGHT=0.0,
+            DENSE_Z_WEIGHT=0.0, DENSE_SCALES_WEIGHT=0.0,
+        )
     net = PoseRegressorNet(num_classes=hp.num_classes)
     pcfg = C.pipeline_config_from(hp, use_pallas=True)
     inv_K = np.linalg.inv(constants.INTRINSICS["CAMERA"])
