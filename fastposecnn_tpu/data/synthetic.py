@@ -397,15 +397,36 @@ def make_batch(
     return batch
 
 
-def perfect_logits(scene: Dict[str, np.ndarray], num_classes: int) -> Dict[str, np.ndarray]:
+def perfect_logits(
+    scene: Dict[str, np.ndarray], num_classes: int,
+    loss_targets: bool = False,
+) -> Dict[str, np.ndarray]:
     """Build idealized network outputs from GT (for pipeline tests).
 
     mask: +-10 logits of the GT class; quaternion/scales/z: GT value painted
     into the GT class's channel group; xy: exact unit vectors toward each
     instance's center.
+
+    loss_targets=True paints the quat field losses.dense_supervision
+    actually supervises toward — hemisphere-canonical for non-symmetric
+    instances, zero-camera-y-twist swing (geometry.quat_swing_canonical)
+    for symmetric ones. The default keeps raw GT quats so pipeline
+    recovery tests compare against GT exactly.
     """
     mask = scene["mask"]
     agg = scene["agg"]
+    if loss_targets:
+        from fastposecnn_tpu import geometry
+        import jax.numpy as jnp
+
+        q = jnp.asarray(agg["quaternion"])
+        sym = agg["symmetric_ids"].astype(np.float32)[..., None]
+        q_t = (
+            np.asarray(geometry.quat_canonical(q)) * (1.0 - sym)
+            + np.asarray(geometry.quat_swing_canonical(q)) * sym
+        )
+        agg = dict(agg)
+        agg["quaternion"] = q_t.astype(np.float32)
     h, w = mask.shape
     cm1 = num_classes - 1
 

@@ -86,6 +86,43 @@ def quat_canonical(q: jax.Array) -> jax.Array:
     return q * jnp.where(comp >= 0, 1.0, -1.0)
 
 
+def quat_swing_canonical(q: jax.Array, eps: float = 1e-8) -> jax.Array:
+    """Remove the twist component the symmetric degree metrics forgive,
+    then hemisphere-canonicalize: the regression target for SYMMETRIC
+    instances.
+
+    The reference's symmetric quaternion distance
+    (FPC/lib/gpu_tensor_funcs.py:458-476 + 752-799, mirrored in
+    quat_distance_deg / geodesic_quat_distance_deg) feeds xyzw-stored
+    quats through a wxyz Hamilton product; the net effect — verified
+    numerically — is that it takes the min over CAMERA-frame y-axis
+    PRE-rotations of the prediction, i.e. dist(q0, q1) = min_t
+    raw(q0, t ⊗ q1) with t about camera y. A symmetric instance's
+    rotation is therefore only defined up to that twist, and painting
+    the full GT quat as a dense target would supervise toward an
+    arbitrary twist representative the loss can never resolve (the same
+    ambiguity class as the q/-q sign problem, see quat_canonical).
+
+    Decompose q = t ⊗ s (xyzw storage: t ∝ (0, q_y, 0, q_w)); s is the
+    zero-camera-y-twist ("swing") representative: s_y = 0 exactly, and
+    both symmetric degree metrics score dist(q, s) <= their 1-degree
+    discretization step (test_losses.py pins this). Singular only at
+    q_y = q_w = 0 (a 180-degree rotation about a camera-xz axis), where
+    t falls back to identity.
+    """
+    x, y, z, w = jnp.moveaxis(q, -1, 0)
+    n = jnp.sqrt(y * y + w * w)
+    safe = n > eps
+    ty = jnp.where(safe, y / jnp.maximum(n, eps), 0.0)
+    tw = jnp.where(safe, w / jnp.maximum(n, eps), 1.0)
+    # s = t^{-1} ⊗ q with t^{-1} = (0, -ty, 0, tw) in xyzw storage.
+    sx = tw * x - ty * z
+    sy = tw * y - ty * w  # == 0 up to rounding by construction
+    sz = tw * z + ty * x
+    sw = tw * w + ty * y
+    return quat_canonical(jnp.stack([sx, sy, sz, sw], axis=-1))
+
+
 def quat_to_rotmat(q: jax.Array) -> jax.Array:
     """Batched quaternion (xyzw) -> rotation matrix [..., 3, 3].
 

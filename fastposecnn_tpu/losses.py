@@ -332,26 +332,33 @@ def dense_supervision(
         return jnp.sum(err * fg) / jnp.maximum(jnp.sum(fg), 1.0)
 
     if weights.get("quaternion"):
-        # Symmetric classes (bowl/can/bottle) admit a continuum of
-        # equivalent rotations; painting ONE canonical GT quat over their
-        # pixels would supervise toward an arbitrary representative and
-        # fight the (symmetry-aware) matched QLoss. Dense quat supervision
-        # therefore covers non-symmetric instances only.
-        nonsym = 1.0 - agg["symmetric_ids"].astype(jnp.float32)
-        inst_q = inst * nonsym[..., None, None]
-        fg_q = jnp.sum(inst_q, axis=1)
-        pred = _gt_class_select(logits["quaternion"], gt_mask, 4)
         # q and -q are the same rotation but DIFFERENT regression targets:
         # canonicalize the hemisphere (geometry.quat_canonical) or the
         # same appearance gets opposite-sign labels and the optimal dense
         # field collapses to ~0 (the round-3 ~49 deg rotation plateau).
+        #
+        # Symmetric classes (bottle/bowl/can) have the SAME ambiguity one
+        # level up: the symmetric degree metrics (and the matched QLoss)
+        # only define their rotation up to a camera-y twist, so the full
+        # GT quat is an arbitrary twist representative the loss can never
+        # resolve. Supervise them toward the zero-twist ("swing")
+        # representative instead (geometry.quat_swing_canonical), which
+        # the symmetric metrics score as ~0 vs the GT. Round-3 excluded
+        # symmetric instances from dense supervision entirely — and the
+        # held-out eval's two worst classes were bowl (55.6 deg geodesic)
+        # and can (64.0), the two symmetric classes whose only rotation
+        # signal was the sparse matched QLoss.
+        sym = agg["symmetric_ids"].astype(jnp.float32)[..., None]
+        q_gt = geometry.quat_canonical(agg["quaternion"])
+        q_swing = geometry.quat_swing_canonical(agg["quaternion"])
+        q_target = q_gt * (1.0 - sym) + q_swing * sym
+        pred = _gt_class_select(logits["quaternion"], gt_mask, 4)
         target = jnp.einsum(
-            "bnhw,bnd->bhwd", inst_q,
-            geometry.quat_canonical(agg["quaternion"]),
+            "bnhw,bnd->bhwd", inst, q_target,
             precision=jax.lax.Precision.HIGHEST,
         )
         err = jnp.sum(jnp.abs(pred - target), axis=-1)
-        loss = jnp.sum(err * fg_q) / jnp.maximum(jnp.sum(fg_q), 1.0)
+        loss = jnp.sum(err * fg) / jnp.maximum(jnp.sum(fg), 1.0)
         logs["quaternion/loss_dense"] = loss
         total = total + weights["quaternion"] * loss
 
