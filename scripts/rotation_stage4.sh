@@ -38,7 +38,9 @@ else
   NUM_SCENES=${NUM_SCENES:-1024}; H=${H:-224}; W=${W:-320}; BS=${BS:-8}
   TRAIN_SIZE=${TRAIN_SIZE:-1024}; VALID_SIZE=${VALID_SIZE:-128}
   VOTE_POINTS=${VOTE_POINTS:-1024}; HYP=${HYP:-128}
-  S4_EPOCHS=${S4_EPOCHS:-1000}; RESTAGE=${RESTAGE:-10}
+  # 800 (not 1000): the round's wall budget ends ~40 min after this
+  # stage is expected to start; the held-out eval must fit inside it.
+  S4_EPOCHS=${S4_EPOCHS:-800}; RESTAGE=${RESTAGE:-10}
   EVAL_SCENES=${EVAL_SCENES:-128}; TICK_S=${TICK_S:-600}
   EXP=${EXP:-DEMO}; TICK_DEST=${TICK_DEST:-evidence/rot_demo}
   # Newest stage-3 run's last checkpoint.
