@@ -85,7 +85,9 @@ python -m fastposecnn_tpu.cli.evaluate --synthetic "$EVAL_SCENES" \
 if [ "${SMOKE:-0}" != "1" ]; then  # smoke artifacts are never evidence
   mkdir -p evidence/rot_demo
   cp -r /tmp/rot_demo_eval evidence/rot_demo/eval_s3
-  git add evidence/rot_demo && git commit -q \
+  # -f: *.npz is gitignored but the raw errors ARE the evidence.
+  git add evidence/rot_demo && git add -f evidence/rot_demo/eval_s3 && \
+    git commit -q \
     -m "rotation resume: held-out seed-99 eval after ${EXP}_S3" \
     -- evidence/rot_demo || true
 fi

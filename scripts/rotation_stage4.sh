@@ -71,13 +71,18 @@ wait "$TICKER_PID" || true
 S4=$(ls -dt logs/*/*"${EXP}"_S4* | head -1)
 printf '%s\n' "$S4" > /tmp/rot_demo_rundirs
 
+# Fresh output dir: the evaluate CLI's phase-A stale-results skip would
+# silently reuse a prior run's npz of the same scene count.
+rm -rf /tmp/rot_demo_eval_s4
 python -m fastposecnn_tpu.cli.evaluate --synthetic "$EVAL_SCENES" \
   --synthetic_seed 99 --synthetic_pose_cues "${SIZE_ARGS[@]}" \
   --CHECKPOINT "$S4/checkpoints/best" --output /tmp/rot_demo_eval_s4
 if [ "${SMOKE:-0}" != "1" ]; then
   mkdir -p evidence/rot_demo
   cp -r /tmp/rot_demo_eval_s4 evidence/rot_demo/eval_s4
-  git add evidence/rot_demo && git commit -q \
+  # -f: *.npz is gitignored but the raw errors ARE the evidence.
+  git add evidence/rot_demo && git add -f evidence/rot_demo/eval_s4 && \
+    git commit -q \
     -m "rotation stage 4 (swing supervision): held-out seed-99 eval" \
     -- evidence/rot_demo || true
 fi
