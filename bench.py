@@ -112,7 +112,12 @@ def main():
     t0 = time.perf_counter()
     for _ in range(iters):
         result = forward_c(variables, image)
-    jax.block_until_ready(result)
+    # Completion proof stronger than block_until_ready (which round 4
+    # caught reporting impossible times through the remote-device tunnel
+    # in scripts/mfu_report.py): fetch real output bytes from the final
+    # program — they cannot exist before it (and, single device, every
+    # program before it) has executed. result[4] is the tiny RT tensor.
+    np.asarray(jax.device_get(result[4])).ravel()[:1]
     dt = (time.perf_counter() - t0) / iters
     fps = 1.0 / dt
 

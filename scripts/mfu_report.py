@@ -80,16 +80,43 @@ def main():
         flops = float(ca.get("flops", 0.0))
         out = jitted(variables, image)
         jax.block_until_ready(out)
+
+        # Pipelined serving throughput. block_until_ready alone proved
+        # unreliable through the remote-device tunnel (round 4 recorded a
+        # physically impossible 1199% MFU for model_only); a device_get of
+        # a real output element is a completion proof no transport can
+        # fake — the bytes cannot exist before the final program (and, on
+        # one device, every program before it) has run.
         t0 = time.perf_counter()
         for _ in range(args.iters):
             out = jitted(variables, image)
-        jax.block_until_ready(out)
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        np.asarray(jax.device_get(leaf)).ravel()[:1]
         dt = (time.perf_counter() - t0) / args.iters
+
+        # Cross-check: per-call latency with a fetch every iteration.
+        # Upper-bounds the true step time (adds one tunnel round trip).
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            o = jitted(variables, image)
+            lf = jax.tree_util.tree_leaves(o)[0]
+            np.asarray(jax.device_get(lf)).ravel()[:1]
+        dt_block = (time.perf_counter() - t0) / args.iters
+
         tflops = flops / dt / 1e12
+        if tflops > peak:
+            print(
+                f"{name}: MEASUREMENT ARTIFACT — pipelined timing "
+                f"{dt*1e3:.2f} ms/batch implies {tflops:.1f} TFLOP/s "
+                f"> {peak} peak; falling back to blocked timing"
+            )
+            dt = dt_block
+            tflops = flops / dt / 1e12
         print(
             f"{name}: {flops/1e9/b:.1f} GFLOP/frame, {dt*1e3:.2f} ms/batch "
             f"({b/dt:.1f} imgs/s), {tflops:.1f} TFLOP/s = "
-            f"{100*tflops/peak:.1f}% MFU"
+            f"{100*tflops/peak:.1f}% MFU "
+            f"[blocked per-call: {dt_block*1e3:.2f} ms/batch]"
         )
 
 
