@@ -40,6 +40,16 @@ def main():
     inv_K = np.linalg.inv(constants.INTRINSICS["CAMERA"])
     opt = optim.make_optimizer(hp)
     state = create_train_state(net, opt, jax.random.key(0), hp)
+    # ckpt=PATH: trace with TRAINED weights. Random-init weights make the
+    # adaptive RANSAC confidence loop run to its iteration cap (garbage
+    # masks/vectors -> never confident), inflating the step's voting cost
+    # far beyond what any real training epoch past the first pays.
+    for a in sys.argv[2:]:
+        if a.startswith("ckpt="):
+            from fastposecnn_tpu.train.checkpoint import load_any_checkpoint
+
+            state, hp = load_any_checkpoint(a[5:], state, hp)
+            print("loaded weights from", a[5:])
     step = jax.jit(make_train_step(net, opt, hp, pcfg, inv_K))
     scfg = SceneConfig(height=480, width=640, num_classes=hp.num_classes,
                        max_instances=hp.MAX_INSTANCES)
