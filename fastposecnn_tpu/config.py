@@ -99,6 +99,21 @@ class HParams:
     DENSE_XY_WEIGHT: float = 0.0
     DENSE_Z_WEIGHT: float = 0.0
     DENSE_SCALES_WEIGHT: float = 0.0
+    # Dense quaternion target for SYMMETRIC instances (bottle/bowl/can):
+    #   "swing"   — zero-twist representative (geometry.quat_swing_canonical):
+    #               metric-consistent with the reference's symmetric degree
+    #               metrics, which forgive camera-y twist. Right when the
+    #               twist is genuinely unobservable (real NOCS imagery).
+    #   "full"    — raw hemisphere-canonical GT quat, same as non-symmetric
+    #               classes. Right when the renderer paints twist-revealing
+    #               texture (synthetic.py render_pose_cues NOCS-colored
+    #               cuboids make the full rotation observable for EVERY
+    #               class) and the goal is the honest geodesic metric,
+    #               which does NOT forgive twist.
+    #   "exclude" — no dense quat term on symmetric instances (round-3
+    #               behavior; their only rotation signal is the matched
+    #               QLoss, which is twist-forgiving for them).
+    DENSE_SYM_QUAT_MODE: str = "swing"
 
     # Regression-head bias inits (models/pose_regressor.py): start the z /
     # scales heads at the target distribution's center. 0.0 == reference

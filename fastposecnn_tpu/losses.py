@@ -302,11 +302,14 @@ def dense_supervision(
     agg: Dict[str, Array],
     weights: Dict[str, float],
     sample_weight: Array | None = None,
+    sym_quat_mode: str = "swing",
 ) -> Tuple[Array, Dict[str, Array]]:
     """Masked dense L1 losses on the raw head fields at GT class channels.
 
     weights: {'quaternion': w, 'xy': w, 'z': w, 'scales': w} — terms with
-    weight 0.0 are not traced at all. Returns (weighted total, logs).
+    weight 0.0 are not traced at all. sym_quat_mode picks the quaternion
+    target for symmetric instances (config.py DENSE_SYM_QUAT_MODE).
+    Returns (weighted total, logs).
     """
     total = jnp.zeros((), jnp.float32)
     logs: Dict[str, Array] = {}
@@ -337,28 +340,52 @@ def dense_supervision(
         # same appearance gets opposite-sign labels and the optimal dense
         # field collapses to ~0 (the round-3 ~49 deg rotation plateau).
         #
-        # Symmetric classes (bottle/bowl/can) have the SAME ambiguity one
-        # level up: the symmetric degree metrics (and the matched QLoss)
-        # only define their rotation up to a camera-y twist, so the full
-        # GT quat is an arbitrary twist representative the loss can never
-        # resolve. Supervise them toward the zero-twist ("swing")
-        # representative instead (geometry.quat_swing_canonical), which
-        # the symmetric metrics score as ~0 vs the GT. Round-3 excluded
-        # symmetric instances from dense supervision entirely — and the
-        # held-out eval's two worst classes were bowl (55.6 deg geodesic)
-        # and can (64.0), the two symmetric classes whose only rotation
-        # signal was the sparse matched QLoss.
+        # Symmetric classes (bottle/bowl/can) have a RELATED ambiguity one
+        # level up — the symmetric degree metrics (and the matched QLoss)
+        # only define their rotation up to a camera-y twist — but whether
+        # the dense target should forgive that twist depends on the DATA
+        # and the METRIC being optimized (config.py DENSE_SYM_QUAT_MODE):
+        #   swing   — zero-twist representative (quat_swing_canonical),
+        #             consistent with the twist-forgiving symmetric
+        #             metrics; right when the twist is unobservable.
+        #   full    — raw canonical GT quat: the pose-cue renderer
+        #             (synthetic.py) paints a NOCS gradient on every
+        #             instance, so the twist IS observable and the honest
+        #             geodesic metric (which never forgives twist) can
+        #             only be driven down by supervising it. Round-4
+        #             measured: swing lifted symmetric-class geodesic
+        #             from 31.4 to 27.6 deg mean but can never close the
+        #             gap — the predicted twist stays canonical while the
+        #             GT twist is uniform.
+        #   exclude — no dense quat term on symmetric instances
+        #             (round-3 behavior).
         sym = agg["symmetric_ids"].astype(jnp.float32)[..., None]
         q_gt = geometry.quat_canonical(agg["quaternion"])
-        q_swing = geometry.quat_swing_canonical(agg["quaternion"])
-        q_target = q_gt * (1.0 - sym) + q_swing * sym
+        if sym_quat_mode == "full":
+            q_target = q_gt
+            q_fg = fg
+        elif sym_quat_mode == "swing":
+            q_swing = geometry.quat_swing_canonical(agg["quaternion"])
+            q_target = q_gt * (1.0 - sym) + q_swing * sym
+            q_fg = fg
+        elif sym_quat_mode == "exclude":
+            q_target = q_gt
+            inst_nonsym = inst * (1.0 - sym[..., 0])[:, :, None, None]
+            q_fg = jnp.sum(inst_nonsym, axis=1)
+        else:
+            raise NotImplementedError(
+                f"DENSE_SYM_QUAT_MODE={sym_quat_mode!r} is invalid "
+                "(expected full | swing | exclude)"
+            )
         pred = _gt_class_select(logits["quaternion"], gt_mask, 4)
         target = jnp.einsum(
-            "bnhw,bnd->bhwd", inst, q_target,
+            "bnhw,bnd->bhwd",
+            inst if sym_quat_mode != "exclude" else inst_nonsym,
+            q_target,
             precision=jax.lax.Precision.HIGHEST,
         )
         err = jnp.sum(jnp.abs(pred - target), axis=-1)
-        loss = jnp.sum(err * fg) / jnp.maximum(jnp.sum(fg), 1.0)
+        loss = jnp.sum(err * q_fg) / jnp.maximum(jnp.sum(q_fg), 1.0)
         logs["quaternion/loss_dense"] = loss
         total = total + weights["quaternion"] * loss
 

@@ -97,6 +97,7 @@ def _compute_losses(
         dense_total, dense_logs = L.dense_supervision(
             out["logits"], batch["mask"], batch["agg"], dense_weights,
             sample_weight=sw,
+            sym_quat_mode=getattr(hp, "DENSE_SYM_QUAT_MODE", "swing"),
         )
         logs.update(dense_logs)
         total = total + dense_total

@@ -320,3 +320,85 @@ class TestDenseSupervision:
         )
         raw = G.geodesic_quat_distance_deg(q, s, jnp.zeros(q.shape[0]))
         assert float(jnp.mean(raw)) > 30.0
+
+    def test_sym_quat_mode_full_ignores_symmetry_flag(self):
+        # mode="full": symmetric instances are supervised toward the raw
+        # canonical GT quat exactly like non-symmetric ones (right when
+        # the renderer paints twist-revealing texture — synthetic.py
+        # pose-cue NOCS gradients — and the target metric is the honest
+        # geodesic, which never forgives twist). Flipping every
+        # symmetric_id must not change the loss.
+        logits, gt_mask, agg = self._scene_batch()
+        bad = dict(logits)
+        bad["quaternion"] = logits["quaternion"] + 0.7
+        agg_sym = dict(agg)
+        agg_sym["symmetric_ids"] = jnp.ones_like(agg["symmetric_ids"])
+        agg_non = dict(agg)
+        agg_non["symmetric_ids"] = jnp.zeros_like(agg["symmetric_ids"])
+        _, a = L.dense_supervision(bad, gt_mask, agg_sym,
+                                   {"quaternion": 1.0},
+                                   sym_quat_mode="full")
+        _, b = L.dense_supervision(bad, gt_mask, agg_non,
+                                   {"quaternion": 1.0},
+                                   sym_quat_mode="full")
+        np.testing.assert_allclose(
+            float(a["quaternion/loss_dense"]),
+            float(b["quaternion/loss_dense"]), rtol=1e-6,
+        )
+        assert float(a["quaternion/loss_dense"]) > 0.1
+
+    def test_sym_quat_mode_full_differs_from_swing_on_symmetric(self):
+        # On an all-symmetric scene the full target (raw canonical quat,
+        # twist kept) and the swing target (twist removed) must disagree:
+        # a field painted with the raw targets scores ~0 under "full" but
+        # positive under "swing".
+        from fastposecnn_tpu import geometry as G
+
+        logits, gt_mask, agg = self._scene_batch()
+        agg = dict(agg)
+        agg["symmetric_ids"] = jnp.ones_like(agg["symmetric_ids"])
+        q_gt = G.quat_canonical(agg["quaternion"])
+        inst = agg["instance_masks"].astype(jnp.float32)
+        painted = jnp.einsum("bnhw,bnd->bhwd", inst, q_gt)
+        # place the painted field at every class channel so the GT-class
+        # selection picks it up regardless of class id
+        ncls = logits["quaternion"].shape[-1] // 4
+        full_field = jnp.tile(painted, (1, 1, 1, ncls))
+        good = dict(logits)
+        good["quaternion"] = full_field
+        _, lf = L.dense_supervision(good, gt_mask, agg,
+                                    {"quaternion": 1.0},
+                                    sym_quat_mode="full")
+        _, ls = L.dense_supervision(good, gt_mask, agg,
+                                    {"quaternion": 1.0},
+                                    sym_quat_mode="swing")
+        assert float(lf["quaternion/loss_dense"]) < 1e-4
+        assert float(ls["quaternion/loss_dense"]) > 1e-2
+
+    def test_sym_quat_mode_exclude_gates_symmetric_pixels(self):
+        # mode="exclude" (round-3 behavior): an all-symmetric scene gets
+        # NO dense quat loss even with a corrupted field; a mixed flag
+        # still penalizes the non-symmetric instances.
+        logits, gt_mask, agg = self._scene_batch()
+        bad = dict(logits)
+        bad["quaternion"] = logits["quaternion"] + 3.0
+        agg_sym = dict(agg)
+        agg_sym["symmetric_ids"] = jnp.ones_like(agg["symmetric_ids"])
+        _, logs = L.dense_supervision(bad, gt_mask, agg_sym,
+                                      {"quaternion": 1.0},
+                                      sym_quat_mode="exclude")
+        assert float(logs["quaternion/loss_dense"]) == 0.0
+        agg_non = dict(agg)
+        agg_non["symmetric_ids"] = jnp.zeros_like(agg["symmetric_ids"])
+        _, logs2 = L.dense_supervision(bad, gt_mask, agg_non,
+                                       {"quaternion": 1.0},
+                                       sym_quat_mode="exclude")
+        assert float(logs2["quaternion/loss_dense"]) > 0.5
+
+    def test_sym_quat_mode_invalid_raises(self):
+        import pytest
+
+        logits, gt_mask, agg = self._scene_batch()
+        with pytest.raises(NotImplementedError):
+            L.dense_supervision(logits, gt_mask, agg, {"quaternion": 1.0},
+                                sym_quat_mode="bogus")
