@@ -122,6 +122,12 @@ def freeze_mask_fn(hp: HParams):
     0.0 for frozen modules; ENCODER_LEARNING_RATE/LEARNING_RATE for the
     encoder (the reference declares the field, FPC/config.py:58, but its
     optimizer never applies it — here it works); 1.0 otherwise.
+
+    Freezing gates PARAM updates only: a frozen encoder's BatchNorm
+    running stats still update while training (train_step threads the
+    mutated batch_stats unconditionally) — the same semantics as torch
+    requires_grad=False with the module left in train mode, which is how
+    the reference's stage gating behaves (FPC/lib/pose_regressor.py).
     """
     frozen = _frozen_module_names(hp)
     enc_ratio = (
