@@ -140,6 +140,85 @@ def load_checkpoint(
 
 
 # -----------------------------------------------------------------------------
+# Durable npz weight snapshots
+#
+# Orbax checkpoints live under gitignored logs/ and are destroyed by VM
+# restarts (this killed the round-3 demo checkpoints AND the round-4
+# stage-5 chunk-2 run). A snapshot is a single compressed .npz holding
+# params + batch_stats (float leaves stored as float16, ~2e-3 relative
+# rounding — negligible against SGD noise on resume) plus the hparams
+# JSON, small enough to commit to git per training chunk so weights
+# survive anything that kills the VM. Optimizer state is deliberately
+# excluded (it would triple the size; every stage script resets the LR
+# schedule on resume anyway, matching the reference's per-stage
+# optimizer reconstruction, FPC/lib/pose_regressor.py:404-438).
+
+_HP_KEY = "__hparams_json__"
+
+
+def is_npz_snapshot(path) -> bool:
+    p = pathlib.Path(path)
+    return p.is_file() and p.suffix == ".npz"
+
+
+def _flat_keys(prefix, tree):
+    """Stable 'params/encoder/conv1/kernel'-style keys for a pytree."""
+    flat, _ = jax.tree_util.tree_flatten_with_path(tree)
+    out = []
+    for kpath, leaf in flat:
+        parts = [str(getattr(p, "key", getattr(p, "name", p)))
+                 for p in kpath]
+        out.append((prefix + "/" + "/".join(parts), leaf))
+    return out
+
+
+def save_npz_snapshot(path, state, hp: HParams) -> None:
+    arrays = {}
+    for prefix, tree in (("params", state.params),
+                         ("batch_stats", state.batch_stats)):
+        for key, leaf in _flat_keys(prefix, tree):
+            a = np.asarray(leaf)
+            if a.dtype in (np.float32, np.float64):
+                a = a.astype(np.float16)
+            arrays[key] = a
+    arrays[_HP_KEY] = np.array(hp.to_json())
+    tmp = pathlib.Path(str(path) + ".part")
+    with open(tmp, "wb") as f:
+        np.savez_compressed(f, **arrays)
+    tmp.replace(path)  # crash-consistent: never a truncated snapshot
+
+
+def load_npz_snapshot(path, state, hp: HParams) -> Tuple[Any, HParams]:
+    """Restore params + batch_stats from a snapshot into `state` (whose
+    pytree provides structure and dtypes). Optimizer state stays fresh."""
+    data = np.load(path, allow_pickle=False)
+    hp = merge_from_checkpoint(hp, HParams.from_json(str(data[_HP_KEY])))
+
+    def restore(prefix, tree):
+        def fix(kpath, leaf):
+            parts = [str(getattr(p, "key", getattr(p, "name", p)))
+                     for p in kpath]
+            key = prefix + "/" + "/".join(parts)
+            if key not in data:
+                raise KeyError(
+                    f"snapshot {path} is missing {key!r} — architecture "
+                    "mismatch (check ENCODER/num_classes hparams)")
+            got = data[key]
+            want = np.asarray(leaf)
+            if got.shape != want.shape:
+                raise ValueError(
+                    f"snapshot {path}: {key!r} has shape {got.shape}, "
+                    f"model expects {want.shape} — architecture mismatch")
+            return np.asarray(got).astype(want.dtype, copy=False)
+        return jax.tree_util.tree_map_with_path(fix, tree)
+
+    return state._replace(
+        params=restore("params", state.params),
+        batch_stats=restore("batch_stats", state.batch_stats),
+    ), hp
+
+
+# -----------------------------------------------------------------------------
 # Reference (torch/Lightning) checkpoint interop
 
 _TORCH_SUFFIXES = (".ckpt", ".pth", ".pt")
@@ -173,6 +252,10 @@ def merge_arch_from_any(path, hp: HParams) -> HParams:
     (orbax dir or torch file) — call BEFORE constructing the model, exactly
     like the reference's load_from_ckpt (FPC/lib/pose_regressor.py:516-525).
     """
+    if is_npz_snapshot(path):
+        data = np.load(path, allow_pickle=False)
+        return merge_from_checkpoint(
+            hp, HParams.from_json(str(data[_HP_KEY])))
     if is_torch_checkpoint(path):
         old = _torch_hyper_parameters(path)
         updates = {}
@@ -195,10 +278,12 @@ def merge_arch_from_any(path, hp: HParams) -> HParams:
 def load_any_checkpoint(
     path, state, hp: HParams, step: Optional[int] = None
 ) -> Tuple[Any, HParams]:
-    """Restore weights from either an orbax directory or a reference torch
-    checkpoint file. Torch checkpoints replace params + batch_stats via the
-    full converter (models/weights.py) and leave the optimizer state fresh.
+    """Restore weights from an orbax directory, an npz weight snapshot, or
+    a reference torch checkpoint file. Snapshot and torch loads replace
+    params + batch_stats and leave the optimizer state fresh.
     """
+    if is_npz_snapshot(path):
+        return load_npz_snapshot(path, state, hp)
     if is_torch_checkpoint(path):
         from fastposecnn_tpu.models.weights import (
             load_full_checkpoint,
