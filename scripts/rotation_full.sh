@@ -74,7 +74,13 @@ for i in $(seq "$START_CHUNK" "$N_CHUNKS"); do
   # Head LR 1e-4 (the reference's stage-2 1e-5 cannot move a fresh
   # rotation branch), encoder 1e-5; staged plateau defaults decay
   # within each chunk.
-  python -m fastposecnn_tpu.cli.train -e "$NAME" --preset HEAD_TRAINING \
+  # timeout: a wedged tunnel client can hang FOREVER at the final
+  # checkpoint write (observed FULL_c1, 00:12 UTC: epochs done, process
+  # in futex_do_wait, fresh clients fine). Bound the chunk so the queue
+  # still reaches the snapshot/eval of whatever checkpoints exist.
+  CHUNK_TIMEOUT=${CHUNK_TIMEOUT:-$((CHUNK_EPOCHS * 15 + 1800))}
+  timeout -k 60 "$CHUNK_TIMEOUT" \
+    python -m fastposecnn_tpu.cli.train -e "$NAME" --preset HEAD_TRAINING \
     --synthetic "$NUM_SCENES" --synthetic_pose_cues "${SIZE_ARGS[@]}" \
     "${DENSE_ARGS[@]}" "${STAGED_ARGS[@]}" "${POOL_ARGS[@]}" \
     --epochs "$CHUNK_EPOCHS" \
@@ -84,22 +90,29 @@ for i in $(seq "$START_CHUNK" "$N_CHUNKS"); do
   bash scripts/evidence_ticker.sh "logs/*/*${NAME}*" "$TICK_S" \
     "$TRAIN_PID" "$EVID_DEST" &
   TICKER_PID=$!
-  wait "$TRAIN_PID"
+  wait "$TRAIN_PID" || echo "rotation_full: chunk $i trainer exited" \
+    "nonzero (timeout/kill?) — salvaging checkpoints"
   wait "$TICKER_PID" || true
 
   RUN=$(ls -dt logs/*/*"${NAME}"* | head -1)
+  # A trainer killed mid-write may leave no `last`; chain from the
+  # newest checkpoint that exists (best flushes every restage).
   RESUME="$RUN/checkpoints/last"
+  [ -e "$RESUME" ] || RESUME="$RUN/checkpoints/best"
+  [ -e "$RESUME" ] || { echo "rotation_full: chunk $i left no" \
+    "checkpoint, stopping"; break; }
 
   # Durable weight snapshot of this chunk's best, committed to git.
   SNAP="$EVID_DEST/ckpt_${EXP}_c${i}.npz"
   mkdir -p "$EVID_DEST"
-  python scripts/ckpt_snapshot.py save "$RUN/checkpoints/best" "$SNAP"
+  python scripts/ckpt_snapshot.py save "$RUN/checkpoints/best" "$SNAP" \
+    || { echo "rotation_full: snapshot of chunk $i failed"; SNAP=""; }
   case "$EVID_DEST" in
     evidence/*)
       # -f: *.npz is gitignored, but the weights ARE the evidence.
-      git add -f "$SNAP" && git commit -q \
+      [ -n "$SNAP" ] && { git add -f "$SNAP" && git commit -q \
         -m "durable weight snapshot: ${EXP} chunk ${i} best" \
-        -- "$SNAP" || true
+        -- "$SNAP" || true; }
       ;;
   esac
 
@@ -107,9 +120,11 @@ for i in $(seq "$START_CHUNK" "$N_CHUNKS"); do
   # output dir: phase-A stale-results skip would reuse a prior npz.
   OUT="/tmp/rot_eval_${EXP}_c${i}"
   rm -rf "$OUT"
-  python -m fastposecnn_tpu.cli.evaluate --synthetic "$EVAL_SCENES" \
+  timeout -k 60 2400 \
+    python -m fastposecnn_tpu.cli.evaluate --synthetic "$EVAL_SCENES" \
     --synthetic_seed 99 --synthetic_pose_cues "${SIZE_ARGS[@]}" \
-    --CHECKPOINT "$RUN/checkpoints/best" --output "$OUT"
+    --CHECKPOINT "$RUN/checkpoints/best" --output "$OUT" \
+    || echo "rotation_full: eval of chunk $i failed, continuing"
   case "$EVID_DEST" in
     evidence/*)
       rm -rf "$EVID_DEST/eval_${EXP}_c${i}"
