@@ -12,8 +12,10 @@ NOCS-format dataset on the fly (zero-egress environments).
 from __future__ import annotations
 
 import argparse
+import logging
 import os
 import pathlib
+import shutil
 import tempfile
 
 import numpy as np
@@ -105,8 +107,18 @@ def main(argv=None):
         )
 
         def _render_if_empty(d, n, seed):
-            if not (d.exists() and any(d.iterdir())):
-                write_synthetic_nocs(d, n, seed, scfg)
+            # Reuse only banks that finished rendering (the .complete
+            # marker, nocs_writer): a bank torn by a mid-render kill
+            # would otherwise be adopted and silently clamp the staged
+            # trainer's device buffer below TRAIN_SIZE for the whole run.
+            if d.exists() and any(d.iterdir()):
+                if (d / ".complete").exists():
+                    return d
+                logging.getLogger("fastposecnn_tpu").warning(
+                    "discarding incomplete scene bank %s "
+                    "(no .complete marker — torn render?)", d)
+                shutil.rmtree(d)
+            write_synthetic_nocs(d, n, seed, scfg)
             return d
 
         train_dir = _render_if_empty(tmp / "train", args.synthetic, 0)

@@ -73,6 +73,13 @@ def write_synthetic_nocs(
             "quaternions": agg["quaternion"][valid].tolist(),
         }
         pathlib.Path(f"{prefix}_meta+.json").write_text(json.dumps(meta))
+    # Completion marker: a killed render leaves scenes but no marker, so
+    # reuse checks (cli/train._render_if_empty) can tell a whole bank
+    # from a torn one. (Observed: a VM kill mid-render left 230/256
+    # scenes + one torn; the relaunch adopted it and the staged trainer
+    # clamped its device buffer to 919 samples for the entire run.)
+    # The dataset scanner only picks *_color.png, so the marker is inert.
+    (root / ".complete").touch()
     return root
 
 

@@ -30,6 +30,18 @@ class TestNOCSRoundtrip:
         )
         assert (agg["z"][:n] > 0).all()
 
+    def test_write_touches_completion_marker(self, tmp_path):
+        # A mid-render kill leaves scenes but no marker; reuse checks
+        # (cli/train._render_if_empty) must then discard the torn bank
+        # instead of clamping the staged buffer below TRAIN_SIZE (the
+        # 919-of-1024 incident, BASELINE.md round 4). The scanner must
+        # also ignore the marker file.
+        cfg = SceneConfig(height=60, width=80)
+        write_synthetic_nocs(tmp_path, num_samples=2, scene_cfg=cfg)
+        assert (tmp_path / ".complete").exists()
+        ds = CAMERADataset(tmp_path, max_instances=8, normalize=False)
+        assert len(ds) == 2
+
     def test_gt_geometry_consistency(self, tmp_path):
         # T re-derived by the reader from stored RTs must match the scene's
         # T up to the int-quantization of the projected origin.
