@@ -63,6 +63,13 @@ def main(argv=None):
     parser.add_argument("--restage_every", type=int, default=0,
                         help="with --stage_on_device: re-materialize the "
                              "(augmented) training set every K epochs")
+    parser.add_argument("--snapshot_npz", default=None,
+                        help="with --stage_on_device: path for a durable "
+                             "npz weight snapshot of the best-so-far "
+                             "state, refreshed on the best-flush cadence "
+                             "(at most every 10 min) and finalized at the "
+                             "end — survives VM restarts that wipe "
+                             "gitignored logs/")
     parser.add_argument("--bank_pool_dir", default=None,
                         help="with --synthetic: persistent directory for "
                              "the rotating scene-bank pool; a relaunched "
@@ -199,6 +206,7 @@ def main(argv=None):
                 enable_tb=not args.no_tb, num_epochs=args.epochs,
                 resume_from=args.resume, restage_every=args.restage_every,
                 regen_fn=synth_regen if args.synthetic else None,
+                snapshot_npz=args.snapshot_npz,
             )
         else:
             state, run_dir = fit(

@@ -180,6 +180,10 @@ def fit(
     fh = logging.FileHandler(run_dir / "run.log")
     fh.setFormatter(logging.Formatter("%(asctime)s %(levelname)s %(message)s"))
     flog.addHandler(fh)
+    # jax/absl install root handlers; propagation would emit every epoch
+    # line a second time on stderr alongside the print() console copy,
+    # doubling captured logs (round-4 ADVICE.md).
+    flog.propagate = False
     flog.info("hparams: %s", hp.to_json().replace("\n", " "))
 
     if mesh is None and len(jax.devices()) > 1 and hp.NUM_DEVICES > 1:

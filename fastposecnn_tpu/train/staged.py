@@ -157,9 +157,24 @@ def fit_staged(
     restage_every: int = 0,
     regen_fn=None,
     log_cb=None,
+    snapshot_npz: Optional[str] = None,
+    snapshot_every_s: float = 600.0,
 ):
     """Device-resident counterpart of train/loop.py::fit. Returns
-    (final_state, run_dir)."""
+    (final_state, run_dir).
+
+    snapshot_npz: path for a durable git-committable npz weight snapshot
+    (train/checkpoint.py::save_npz_snapshot) of the best-so-far state,
+    refreshed on the best-flush cadence but at most every
+    `snapshot_every_s` seconds (npz compression is host CPU the restage
+    renderer also needs), and always once more at the end with the final
+    best. Rationale: orbax checkpoints live under gitignored logs/ and VM
+    restarts have destroyed trained weights twice (rounds 3+4) plus two
+    near-complete chunks that died between per-chunk snapshot commits
+    (S5c2 at 193/250, FULL_c2 at 199/200). With this, a kill loses at
+    most `snapshot_every_s` of training — the evidence ticker commits the
+    file on the same cadence.
+    """
     run_dir = run_dir or make_run_dir(hp)
     hp.save(run_dir / "HPARAM.json")
     logger = RunLogger(run_dir, enabled=enable_tb)
@@ -171,6 +186,10 @@ def fit_staged(
     fh = logging.FileHandler(run_dir / "run.log")
     fh.setFormatter(logging.Formatter("%(asctime)s %(levelname)s %(message)s"))
     flog.addHandler(fh)
+    # jax/absl install root handlers; propagation would emit every epoch
+    # line a second time on stderr (the console copy is the print() below),
+    # doubling captured chunk logs (round-4 ADVICE.md).
+    flog.propagate = False
     flog.info("hparams: %s", hp.to_json().replace("\n", " "))
     flog.info("staged (device-resident) trainer")
 
@@ -321,6 +340,7 @@ def fit_staged(
     best_val = float("inf")
     best_state = None
     best_step = 0
+    best_ref, best_ref_step = None, 0
     last_flush_t = time.perf_counter()
     rng = jax.random.key(42)
     ckpt_dir = run_dir / "checkpoints"
@@ -334,6 +354,7 @@ def fit_staged(
     # flush joins the previous one first (bounds live HBM copies to ~1
     # extra state), and the epilogue joins before the final saves.
     flush_thread: Optional[threading.Thread] = None
+    last_snapshot_t = [0.0]  # epoch-0 flush writes the first snapshot
 
     def flush_async(jobs):
         nonlocal flush_thread
@@ -344,7 +365,23 @@ def fit_staged(
                 prev.join()
             for tag, step_, st in jobs:
                 try:
-                    ckpt.save_checkpoint(ckpt_dir / tag, step_, st, hp)
+                    # One host fetch feeds both the orbax save and the npz
+                    # snapshot (each ~30-60 s of device_get over a
+                    # remote-attached chip if done separately).
+                    st_h = jax.device_get(st)
+                    ckpt.save_checkpoint(ckpt_dir / tag, step_, st_h, hp)
+                    if (
+                        snapshot_npz
+                        and tag == "best"
+                        and time.perf_counter() - last_snapshot_t[0]
+                        > snapshot_every_s
+                    ):
+                        ckpt.save_npz_snapshot(snapshot_npz, st_h, hp)
+                        last_snapshot_t[0] = time.perf_counter()
+                        flog.info(
+                            "durable npz snapshot refreshed (step %d): %s",
+                            step_, snapshot_npz,
+                        )
                 except Exception:  # noqa: BLE001
                     flog.exception("async checkpoint flush (%s) failed", tag)
 
@@ -499,6 +536,10 @@ def fit_staged(
         if val_loss < best_val:
             best_val = val_loss
             best_state, best_step = state, int(jax.device_get(state.step))
+            # Kept across flushes (best_state is cleared once written) so
+            # the epilogue snapshot is always the run's true best; device
+            # pytree references, so this retains ≤1 extra state in HBM.
+            best_ref, best_ref_step = state, best_step
         # Flush on the periodic epoch cadence OR a 10-minute wall-clock
         # cadence, whichever fires first: with CKPT_SAVE_FREQUENCY sized
         # for cheap staged epochs (hundreds), a killed run would otherwise
@@ -555,6 +596,13 @@ def fit_staged(
     if best_state is not None:
         ckpt.save_checkpoint(ckpt_dir / "best", best_step, best_state, hp)
     ckpt.save_checkpoint(ckpt_dir / "last", int(state.step), state, hp)
+    if snapshot_npz and best_ref is not None:
+        # Final durable snapshot of the run's true best — lets chunk
+        # drivers skip a separate ~4-min ckpt_snapshot.py jax-import just
+        # to re-read checkpoints/best from disk.
+        ckpt.save_npz_snapshot(snapshot_npz, jax.device_get(best_ref), hp)
+        flog.info("final durable npz snapshot (step %d): %s",
+                  best_ref_step, snapshot_npz)
     import dataclasses
 
     logger.log_hparams(dataclasses.asdict(hp), {"best_val_loss": best_val})

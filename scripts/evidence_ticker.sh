@@ -28,6 +28,10 @@ sweep() {
   case "$DEST" in
     evidence/*)
       git add "$DEST" 2>/dev/null
+      # Weight snapshots are gitignored (*.npz) but ARE the evidence —
+      # committing them on the ticker cadence means a VM kill loses at
+      # most ~10 min of training (round-4 VERDICT weak #3).
+      git add -f "$DEST"/*.npz 2>/dev/null
       git commit -q \
         -m "evidence ticker: ${base} snapshot ($(date -u +%H:%M))" \
         -- "$DEST" || true

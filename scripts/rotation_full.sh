@@ -71,6 +71,9 @@ fi
 
 for i in $(seq "$START_CHUNK" "$N_CHUNKS"); do
   NAME="${EXP}_c${i}"
+  SNAP="$EVID_DEST/ckpt_${EXP}_c${i}.npz"
+  mkdir -p "$EVID_DEST"
+  CHUNK_T0=$(date +%s)
   # Head LR 1e-4 (the reference's stage-2 1e-5 cannot move a fresh
   # rotation branch), encoder 1e-5; staged plateau defaults decay
   # within each chunk.
@@ -85,6 +88,7 @@ for i in $(seq "$START_CHUNK" "$N_CHUNKS"); do
     "${DENSE_ARGS[@]}" "${STAGED_ARGS[@]}" "${POOL_ARGS[@]}" \
     --epochs "$CHUNK_EPOCHS" \
     --LEARNING_RATE 1e-4 --ENCODER_LEARNING_RATE 1e-5 \
+    --snapshot_npz "$SNAP" \
     --resume "$RESUME" &
   TRAIN_PID=$!
   bash scripts/evidence_ticker.sh "logs/*/*${NAME}*" "$TICK_S" \
@@ -102,11 +106,16 @@ for i in $(seq "$START_CHUNK" "$N_CHUNKS"); do
   [ -e "$RESUME" ] || { echo "rotation_full: chunk $i left no" \
     "checkpoint, stopping"; break; }
 
-  # Durable weight snapshot of this chunk's best, committed to git.
-  SNAP="$EVID_DEST/ckpt_${EXP}_c${i}.npz"
-  mkdir -p "$EVID_DEST"
-  python scripts/ckpt_snapshot.py save "$RUN/checkpoints/best" "$SNAP" \
-    || { echo "rotation_full: snapshot of chunk $i failed"; SNAP=""; }
+  # Durable weight snapshot of this chunk's best, committed to git. The
+  # trainer now writes $SNAP itself on the best-flush cadence and once
+  # more at the end (--snapshot_npz) — only fall back to the ~4-min
+  # ckpt_snapshot.py jax-import if the in-run snapshot never appeared
+  # (e.g. the trainer was killed before the first best flush).
+  if [ ! -f "$SNAP" ] || \
+     [ "$(stat -c %Y "$SNAP")" -lt "$CHUNK_T0" ]; then
+    python scripts/ckpt_snapshot.py save "$RUN/checkpoints/best" "$SNAP" \
+      || { echo "rotation_full: snapshot of chunk $i failed"; SNAP=""; }
+  fi
   case "$EVID_DEST" in
     evidence/*)
       # -f: *.npz is gitignored, but the weights ARE the evidence.
