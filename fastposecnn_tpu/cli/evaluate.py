@@ -240,6 +240,7 @@ def main(argv=None):
     parser.add_argument("--valid_dir", default=None)
     parser.add_argument("--synthetic", type=int, default=0)
     parser.add_argument("--synthetic_pose_cues", action="store_true")
+    parser.add_argument("--synthetic_cue_boost", action="store_true")
     parser.add_argument(
         "--synthetic_seed", type=int, default=999983,
         help="scene-bank seed for --synthetic; default is disjoint from the "
@@ -297,7 +298,8 @@ def main(argv=None):
                 SceneConfig(height=hp.IMAGE_HEIGHT, width=hp.IMAGE_WIDTH,
                             num_classes=hp.num_classes,
                             max_instances=hp.MAX_INSTANCES,
-                            render_pose_cues=args.synthetic_pose_cues),
+                            render_pose_cues=args.synthetic_pose_cues,
+                            cue_boost=args.synthetic_cue_boost),
             )
         ds = NOCSDataset(
             valid_dir, dataset_name=hp.DATASET_NAME,

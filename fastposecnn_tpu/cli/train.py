@@ -49,6 +49,11 @@ def main(argv=None):
                              "cues (projected size + orientation shading) so "
                              "quaternion/z/scales are learnable, not just "
                              "mask/xy")
+    parser.add_argument("--synthetic_cue_boost", action="store_true",
+                        help="with --synthetic_pose_cues: tri-axis "
+                             "per-channel stripe carriers + octant corner "
+                             "marker (stronger orientation cues; see "
+                             "data/synthetic.py SceneConfig.cue_boost)")
     parser.add_argument("--epochs", type=int, default=None)
     parser.add_argument("--no_tb", action="store_true")
     parser.add_argument("--resume", default=None)
@@ -111,6 +116,7 @@ def main(argv=None):
             height=hp.IMAGE_HEIGHT, width=hp.IMAGE_WIDTH,
             num_classes=hp.num_classes, max_instances=hp.MAX_INSTANCES,
             render_pose_cues=args.synthetic_pose_cues,
+            cue_boost=args.synthetic_cue_boost,
         )
 
         def _render_if_empty(d, n, seed):
@@ -148,7 +154,9 @@ def main(argv=None):
             tmp, scene_count=args.synthetic,
             height=hp.IMAGE_HEIGHT, width=hp.IMAGE_WIDTH,
             num_classes=hp.num_classes, max_instances=hp.MAX_INSTANCES,
-            pose_cues=args.synthetic_pose_cues, initial=[tmp / "train"],
+            pose_cues=args.synthetic_pose_cues,
+            cue_boost=args.synthetic_cue_boost,
+            initial=[tmp / "train"],
         )
 
         def synth_regen(epoch: int) -> None:

@@ -52,6 +52,7 @@ class BankPool:
         num_classes: int,
         max_instances: int,
         pose_cues: bool,
+        cue_boost: bool = False,
         initial: Sequence[pathlib.Path] = (),
         cap: int = 6,
         max_consecutive_failures: int = 3,
@@ -63,6 +64,7 @@ class BankPool:
         self.num_classes = num_classes
         self.max_instances = max_instances
         self.pose_cues = pose_cues
+        self.cue_boost = cue_boost
         self.cap = cap
         self.max_consecutive_failures = max_consecutive_failures
 
@@ -98,6 +100,8 @@ class BankPool:
         ]
         if self.pose_cues:
             cmd.append("--pose_cues")
+        if self.cue_boost:
+            cmd.append("--cue_boost")
         return cmd
 
     def launch(self) -> None:

@@ -100,10 +100,12 @@ def _main(argv=None) -> None:
     p.add_argument("--num_classes", type=int, default=7)
     p.add_argument("--max_instances", type=int, default=8)
     p.add_argument("--pose_cues", action="store_true")
+    p.add_argument("--cue_boost", action="store_true")
     a = p.parse_args(argv)
     cfg = SceneConfig(
         height=a.height, width=a.width, num_classes=a.num_classes,
         max_instances=a.max_instances, render_pose_cues=a.pose_cues,
+        cue_boost=a.cue_boost,
     )
     write_synthetic_nocs(a.out, a.num, a.seed, cfg)
 

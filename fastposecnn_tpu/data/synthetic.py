@@ -51,6 +51,17 @@ class SceneConfig:
     # for a 3-DOF rotation) plateaued rotation learning at ~50 deg; this
     # renderer exists to make the quaternion pathway demonstrably learnable.
     render_pose_cues: bool = False
+    # Stronger orientation cues (round-4 VERDICT weak #6: DEMO_S3
+    # plateaued ~24.5 deg despite 10 LR decays; the residual concentrated
+    # in symmetric classes' twist + renderer limits). With cue_boost each
+    # color channel carries a high-frequency stripe along a DIFFERENT
+    # object axis (R<-x, G<-y, B<-z, class-coded frequencies), a unique
+    # bright marker paints the (+,+,+) octant corner, and the class-tint
+    # blend drops 0.5 -> 0.4 so the NOCS gradient keeps more amplitude.
+    # Small rotations then move high-frequency phase, not just the
+    # low-frequency NOCS ramp. A/B'd against the base renderer at equal
+    # epochs — see BASELINE.md round 5.
+    cue_boost: bool = False
 
 
 def _quat_random(rng) -> np.ndarray:
@@ -80,7 +91,7 @@ _CLASS_TINTS = np.asarray(
 
 
 def _raycast_box(R, T_m, half, intr, inv_intr, h, w, stripe_freq=0,
-                 tint=None):
+                 tint=None, cue_boost=False):
     """Ray-cast one oriented box; returns (hit [H,W] bool, rgb [H,W,3],
     depth_m [H,W]).
 
@@ -127,7 +138,23 @@ def _raycast_box(R, T_m, half, intr, inv_intr, h, w, stripe_freq=0,
 
     p_obj = o + tmin[..., None] * d
     rgb_r = np.clip(p_obj / (2 * half) + 0.5, 0.0, 1.0)
-    if stripe_freq:
+    if cue_boost and stripe_freq:
+        # Tri-axis per-channel carriers: channel c is striped along object
+        # axis c at a class-coded frequency (f, f+3, f+5). Unlike the
+        # single-axis stripe below, EVERY rotation DOF modulates some
+        # channel's phase at high spatial frequency, so small orientation
+        # changes produce large image changes (the twist cue the base
+        # renderer lacks). Brightness stays bounded: each channel keeps a
+        # 0.55 DC term.
+        uvw = np.clip(p_obj / (2 * half) + 0.5, 0.0, 1.0)
+        freqs = np.asarray(
+            [stripe_freq, stripe_freq + 3, stripe_freq + 5], np.float64)
+        rgb_r = rgb_r * (0.55 + 0.45 * np.cos(2 * np.pi * freqs * uvw))
+        # Unique bright marker at the (+,+,+) octant corner: an unambiguous
+        # orientation landmark visible from most viewpoints.
+        corner = (uvw > 0.78).all(-1)
+        rgb_r = np.where(corner[..., None], 1.0, rgb_r)
+    elif stripe_freq:
         # Multiplicative stripes keep the low-frequency NOCS gradient (the
         # rotation cue) while adding an object-space pattern that doubles
         # as extra pose texture (stripe count varies per class too).
@@ -142,7 +169,8 @@ def _raycast_box(R, T_m, half, intr, inv_intr, h, w, stripe_freq=0,
         # WRONG class after 225 mask epochs), while a global color is
         # scale/rotation/distance invariant. 60% gradient keeps the
         # orientation cue in every channel.
-        rgb_r = 0.5 * rgb_r + 0.5 * np.asarray(tint, np.float32)
+        w_tint = 0.4 if cue_boost else 0.5
+        rgb_r = (1 - w_tint) * rgb_r + w_tint * np.asarray(tint, np.float32)
 
     hit = np.zeros((h, w), bool)
     rgb = np.zeros((h, w, 3), np.float32)
@@ -204,7 +232,8 @@ def _generate_scene_raycast(
         # unseen boxes and class-aware matching collapses.
         cast = _raycast_box(R, T_m, inst_scales / 2.0, intr, inv_intr, h, w,
                             stripe_freq=cls + 1,
-                            tint=_CLASS_TINTS[(cls - 1) % len(_CLASS_TINTS)])
+                            tint=_CLASS_TINTS[(cls - 1) % len(_CLASS_TINTS)],
+                            cue_boost=cfg.cue_boost)
         if cast is None:
             continue
         hit, rgb, depth = cast

@@ -10,6 +10,15 @@ tunnel. This probe A/Bs dispatch variants of the IDENTICAL computation:
                    dispatch cache lookup / arg canonicalization)
   nomask100      — drop the dense uint8 mask output (informational:
                    is output handling the overhead?)
+  scan8          — 8 frames per dispatch (lax.scan inside ONE program,
+                   batch still 1): divides any per-dispatch host/tunnel
+                   cost by 8. If per-frame time here matches the xplane
+                   device bound (~2.73 ms), the residual e2e gap is
+                   per-dispatch attachment latency, not program time —
+                   and a host-attached serving process (or one that
+                   pipelines requests) gets the device-bound rate.
+  tinyout        — full pipeline, return one scalar: bounds the
+                   output-fetch side separately from dispatch.
 
 Each variant: warm, then time the loop wall; print ms/iter and FPS.
 """
@@ -67,19 +76,38 @@ def main():
         agg = out["aggregated"]
         return (agg["class_ids"], agg["xy"], agg["z"], agg["RT"])
 
+    def forward_scan8_py(variables, images8):
+        # images8: [8, 1, H, W, 3] — 8 batch-1 frames through the FULL
+        # pipeline inside one program; outputs stacked on device.
+        def body(_, image):
+            return 0, forward_py(variables, image)
+
+        _, outs = jax.lax.scan(body, 0, images8)
+        return outs
+
+    def forward_tinyout_py(variables, image):
+        outs = forward_py(variables, image)
+        # consume everything into one scalar so nothing is DCE'd
+        return sum(jnp.sum(o.astype(jnp.float32)) for o in outs)
+
     forward = jax.jit(forward_py)
     forward_nomask = jax.jit(forward_nomask_py)
     aot = jax.jit(forward_py).lower(variables, image).compile()
+    images8 = jnp.broadcast_to(image, (8,) + image.shape)
+    aot_scan8 = jax.jit(forward_scan8_py).lower(variables, images8).compile()
+    aot_tiny = jax.jit(forward_tinyout_py).lower(variables, image).compile()
 
-    for name, fn, iters in [
-        ("jit30", forward, 30),
-        ("jit100", forward, 100),
-        ("aot100", aot, 100),
-        ("nomask100", forward_nomask, 100),
-        ("jit30_b", forward, 30),
+    for name, fn, args, iters, per in [
+        ("jit30", forward, (variables, image), 30, 1),
+        ("jit100", forward, (variables, image), 100, 1),
+        ("aot100", aot, (variables, image), 100, 1),
+        ("nomask100", forward_nomask, (variables, image), 100, 1),
+        ("scan8", aot_scan8, (variables, images8), 40, 8),
+        ("tinyout", aot_tiny, (variables, image), 100, 1),
+        ("jit30_b", forward, (variables, image), 30, 1),
     ]:
-        dt = timed(fn, (variables, image), iters)
-        print(f"{name:10s} {dt*1e3:7.3f} ms/iter  {1/dt:7.1f} FPS")
+        dt = timed(fn, args, iters) / per
+        print(f"{name:10s} {dt*1e3:7.3f} ms/frame  {1/dt:7.1f} FPS")
 
 
 if __name__ == "__main__":

@@ -48,6 +48,14 @@ else
   EXP=${EXP:-FULL}; EVID_DEST=${EVID_DEST:-evidence/rot_demo}
 fi
 
+# CUE_BOOST=1: tri-axis per-channel stripe carriers + corner marker
+# (data/synthetic.py SceneConfig.cue_boost) — the round-5 cue-ceiling A/B
+# arm. Use a SEPARATE BANK_POOL_DIR: banks are renderer-specific.
+CUE_ARGS=(--synthetic_pose_cues)
+if [ "${CUE_BOOST:-0}" = "1" ]; then
+  CUE_ARGS+=(--synthetic_cue_boost)
+fi
+
 SIZE_ARGS=(--IMAGE_HEIGHT "$H" --IMAGE_WIDTH "$W" --BATCH_SIZE "$BS"
   --TRAIN_SIZE "$TRAIN_SIZE" --VALID_SIZE "$VALID_SIZE" --MAX_INSTANCES 8
   --MAX_VOTE_POINTS "$VOTE_POINTS" --HV_NUM_OF_HYPOTHESES "$HYP")
@@ -64,7 +72,7 @@ if [ -z "$RESUME" ]; then
   # Stage 1: mask pre-training on pose-cue synthetic scenes.
   python -m fastposecnn_tpu.cli.train -e "${EXP}_S1" \
     --preset MASK_TRAINING --synthetic "$NUM_SCENES" \
-    --synthetic_pose_cues "${SIZE_ARGS[@]}" "${STAGED_ARGS[@]}" \
+    "${CUE_ARGS[@]}" "${SIZE_ARGS[@]}" "${STAGED_ARGS[@]}" \
     "${POOL_ARGS[@]}" --epochs "$S1_EPOCHS"
   RESUME=$(ls -dt logs/*/*"${EXP}"_S1* | head -1)/checkpoints/best
 fi
@@ -76,7 +84,10 @@ for i in $(seq "$START_CHUNK" "$N_CHUNKS"); do
   CHUNK_T0=$(date +%s)
   # Head LR 1e-4 (the reference's stage-2 1e-5 cannot move a fresh
   # rotation branch), encoder 1e-5; staged plateau defaults decay
-  # within each chunk.
+  # within each chunk. HEAD_LR/ENC_LR env knobs: each chunk restarts
+  # the optimizer at the CLI LR, so a long chain never actually decays
+  # — round 5 steps the LR down across chunks (c4 5e-5, c5 2.5e-5, ...)
+  # the way the dead DEMO_S3 run's 10 plateau decays did within one run.
   # timeout: a wedged tunnel client can hang FOREVER at the final
   # checkpoint write (observed FULL_c1, 00:12 UTC: epochs done, process
   # in futex_do_wait, fresh clients fine). Bound the chunk so the queue
@@ -84,10 +95,11 @@ for i in $(seq "$START_CHUNK" "$N_CHUNKS"); do
   CHUNK_TIMEOUT=${CHUNK_TIMEOUT:-$((CHUNK_EPOCHS * 15 + 1800))}
   timeout -k 60 "$CHUNK_TIMEOUT" \
     python -m fastposecnn_tpu.cli.train -e "$NAME" --preset HEAD_TRAINING \
-    --synthetic "$NUM_SCENES" --synthetic_pose_cues "${SIZE_ARGS[@]}" \
+    --synthetic "$NUM_SCENES" "${CUE_ARGS[@]}" "${SIZE_ARGS[@]}" \
     "${DENSE_ARGS[@]}" "${STAGED_ARGS[@]}" "${POOL_ARGS[@]}" \
     --epochs "$CHUNK_EPOCHS" \
-    --LEARNING_RATE 1e-4 --ENCODER_LEARNING_RATE 1e-5 \
+    --LEARNING_RATE "${HEAD_LR:-1e-4}" \
+    --ENCODER_LEARNING_RATE "${ENC_LR:-1e-5}" \
     --snapshot_npz "$SNAP" \
     --resume "$RESUME" &
   TRAIN_PID=$!
@@ -131,7 +143,7 @@ for i in $(seq "$START_CHUNK" "$N_CHUNKS"); do
   rm -rf "$OUT"
   timeout -k 60 2400 \
     python -m fastposecnn_tpu.cli.evaluate --synthetic "$EVAL_SCENES" \
-    --synthetic_seed 99 --synthetic_pose_cues "${SIZE_ARGS[@]}" \
+    --synthetic_seed 99 "${CUE_ARGS[@]}" "${SIZE_ARGS[@]}" \
     --CHECKPOINT "$RUN/checkpoints/best" --output "$OUT" \
     || echo "rotation_full: eval of chunk $i failed, continuing"
   case "$EVID_DEST" in

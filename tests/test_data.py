@@ -215,3 +215,59 @@ class TestAugmentationWiring:
             "producer thread still alive after abandoned iteration"
         # an aborted epoch must not advance the shuffle/augment stream
         assert loader.epoch == epoch_before
+
+
+class TestCueBoostRenderer:
+    """SceneConfig.cue_boost (round-5 cue-ceiling A/B arm)."""
+
+    def test_base_renderer_unchanged_and_boost_differs(self):
+        """cue_boost=False must keep the EXACT base render (same RNG
+        stream, same pixels — committed training banks stay valid), while
+        cue_boost=True changes instance appearance but not GT."""
+        from fastposecnn_tpu.data.synthetic import generate_scene
+
+        base1 = generate_scene(np.random.default_rng(7), SceneConfig(
+            height=96, width=128, render_pose_cues=True))
+        base2 = generate_scene(np.random.default_rng(7), SceneConfig(
+            height=96, width=128, render_pose_cues=True))
+        boost = generate_scene(np.random.default_rng(7), SceneConfig(
+            height=96, width=128, render_pose_cues=True, cue_boost=True))
+
+        np.testing.assert_array_equal(base1["image"], base2["image"])
+        # identical geometry/GT (the boost is pure texture)...
+        np.testing.assert_array_equal(base1["mask"], boost["mask"])
+        for k in ("quaternion", "scales", "xy", "z", "valid", "RT"):
+            np.testing.assert_array_equal(base1["agg"][k], boost["agg"][k])
+        # ...but different pixels on the instances
+        on = base1["mask"] > 0
+        assert on.any()
+        assert np.abs(base1["image"][on] - boost["image"][on]).max() > 0.05
+
+    def test_boost_carries_higher_spatial_frequency(self):
+        """The tri-axis carriers must add high-frequency energy on the
+        instance surface — the twist cue the base renderer lacks."""
+        from fastposecnn_tpu.data.synthetic import generate_scene
+
+        def hf_energy(scene):
+            # PER-CHANNEL gradients: the boost carriers live in separate
+            # channels (R<-x, G<-y, B<-z) and largely cancel in a channel
+            # mean. Training resolution: small boxes under-resolve the
+            # stripes at toy sizes.
+            img = scene["image"]
+            on = scene["mask"] > 0
+            es = []
+            for c in range(3):
+                gy, gx = np.gradient(img[..., c])
+                es.append(np.hypot(gy, gx)[on].mean())
+            return float(np.mean(es))
+
+        cfgs = dict(height=224, width=320, render_pose_cues=True,
+                    max_scene_instances=2)
+        vals = []
+        for boost in (False, True):
+            e = [hf_energy(generate_scene(
+                    np.random.default_rng(s),
+                    SceneConfig(cue_boost=boost, **cfgs)))
+                 for s in range(3)]
+            vals.append(np.mean(e))
+        assert vals[1] > 1.4 * vals[0], vals
