@@ -14,9 +14,11 @@ dispatches to the requested CLI:
 """
 
 import os
+import pathlib
 import runpy
 import sys
 
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
