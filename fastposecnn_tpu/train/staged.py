@@ -62,6 +62,71 @@ from fastposecnn_tpu.train.loop import make_run_dir
 from fastposecnn_tpu.utils.tb import RunLogger
 
 
+def host_checksums(tree) -> np.ndarray:
+    """Per-leaf byte-sum checksum (mod 2^32) of a host pytree."""
+    return np.array(
+        [
+            np.asarray(leaf).view(np.uint8).sum(dtype=np.uint64)
+            & np.uint64(0xFFFFFFFF)
+            for leaf in jax.tree.leaves(tree)
+        ],
+        np.uint64,
+    )
+
+
+@jax.jit
+def device_checksums(tree):
+    """Same checksum computed on device: reads the staged bytes at HBM
+    bandwidth and returns one u32 per array — far cheaper than fetching
+    the staged gigabyte back over a remote attachment."""
+    sums = []
+    for leaf in jax.tree.leaves(tree):
+        x = leaf
+        if x.dtype == jnp.bool_:
+            x = x.astype(jnp.uint8)
+        if x.dtype != jnp.uint8:
+            x = jax.lax.bitcast_convert_type(x, jnp.uint8)
+        sums.append(jnp.sum(x, dtype=jnp.uint32))
+    return jnp.stack(sums)
+
+
+def verified_device_put(host_tree, what: str, log, attempts: int = 3):
+    """device_put with end-to-end transfer verification + retry.
+
+    Round-5 incident (FULL_c6, 00:19 UTC): after a host-VM restart, the
+    freshly staged ~1 GB upload left the on-device data corrupted —
+    epoch-0 val_loss 5.69 / val geodesic 71 deg from a checkpoint whose
+    SAME weights + SAME valid bank measured 1.56 / ~22 deg on the host
+    (scripts/diag_resume.py), and the clip-saturated gradients off the
+    garbage samples dragged params a median 17% within 10 epochs. A
+    byte-sum mismatch catches any such corruption before a single train
+    step runs on it.
+    """
+    want = host_checksums(host_tree)
+    for attempt in range(1, attempts + 1):
+        dev = jax.device_put(host_tree)
+        got = np.asarray(jax.device_get(device_checksums(dev))).astype(
+            np.uint64
+        )
+        if np.array_equal(got, want):
+            if attempt > 1:
+                log.warning(
+                    "staged %s upload verified on retry %d", what, attempt
+                )
+            return dev
+        bad = int((got != want).sum())
+        log.warning(
+            "staged %s upload FAILED checksum (attempt %d/%d): %d/%d "
+            "arrays corrupted in transfer — retrying",
+            what, attempt, attempts, bad, len(want),
+        )
+        del dev
+    raise RuntimeError(
+        f"staged {what} upload corrupted {attempts} times in a row — "
+        "device/tunnel unhealthy, refusing to train on garbage"
+    )
+
+
 def stage_dataset(ds, num_workers: int = 1, pool=None) -> Optional[dict]:
     """Materialize every sample of a NOCSDataset into stacked host arrays
     (compact wire dtypes preserved: uint8 images/masks).
@@ -278,9 +343,12 @@ def fit_staged(
             raise SystemExit("staged trainer: empty training dataset")
         return host_train
 
+    def put_verified(host_tree, what, attempts=3):
+        return verified_device_put(host_tree, what, flog, attempts=attempts)
+
     def stage(split_epoch):
         host_train = stage_host(split_epoch)
-        return host_train, jax.device_put(host_train)
+        return host_train, put_verified(host_train, "train")
 
     # Restage prefetch: the host-side staging read (bank rotate + decode +
     # augment + collate, ~35-450 s on this 1-core host) runs on a
@@ -315,7 +383,7 @@ def fit_staged(
     # transient fork pool is still safe here.
     host_valid = stage_dataset(valid_ds, num_workers=hp.NUM_WORKERS)
     host_train, dev_train = stage(0)
-    dev_valid = jax.device_put(host_valid) if host_valid else None
+    dev_valid = put_verified(host_valid, "valid") if host_valid else None
     n_train = host_train["image"].shape[0]
     n_valid = host_valid["image"].shape[0] if host_valid else 0
     nbytes = sum(
@@ -430,7 +498,7 @@ def fit_staged(
             if n_new != n_train:
                 idx = np.resize(np.arange(n_new), n_train)
                 host_train = jax.tree.map(lambda a: a[idx], host_train)
-            dev_train = jax.device_put(host_train)
+            dev_train = put_verified(host_train, "train")
             flog.info(
                 "restaged %d train samples (%d generated) at epoch %d in "
                 "%.1f s (background prefetch %.1f s)",

@@ -98,6 +98,7 @@ for b in range(n_batches):
     samples = [ds[i] for i in range(b * hp.BATCH_SIZE, (b + 1) * hp.BATCH_SIZE)]
     batch = collate(samples)
     batch = {k: v for k, v in batch.items()}
+    batch.pop("path", None)
     if ON_TPU:
         # Transfer-integrity check: the staged trainer device_puts ~1 GB
         # through the tunnel; verify round-trip bit-exactness for this

@@ -1,5 +1,7 @@
 """Device-resident staged trainer (train/staged.py)."""
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -257,3 +259,72 @@ def test_stage_dataset_persistent_pool_tracks_epoch_and_repoint(tmp_path):
         assert not np.array_equal(pooled["image"], pooled2["image"])
     finally:
         pool.shutdown()
+
+
+class TestTransferIntegrity:
+    """verified_device_put (round-5 FULL_c6 incident: a ~1 GB staged
+    upload through a freshly restarted tunnel arrived corrupted and the
+    trainer ran 50 epochs on garbage before anyone noticed)."""
+
+    def _tree(self):
+        rng = np.random.default_rng(0)
+        return {
+            "image": rng.integers(0, 255, (4, 8, 8, 3), dtype=np.uint8),
+            "mask": rng.integers(0, 6, (4, 8, 8), dtype=np.int32),
+            "agg": {"xy": rng.standard_normal((4, 2)).astype(np.float32)},
+            "flag": np.array([True, False, True, False]),
+        }
+
+    def test_checksums_match_after_clean_put(self):
+        import logging
+
+        from fastposecnn_tpu.train.staged import (
+            device_checksums,
+            host_checksums,
+            verified_device_put,
+        )
+
+        tree = self._tree()
+        want = host_checksums(tree)
+        dev = jax.device_put(tree)
+        got = np.asarray(jax.device_get(device_checksums(dev)))
+        np.testing.assert_array_equal(got.astype(np.uint64), want)
+        # the full wrapper accepts a clean put first try
+        out = verified_device_put(tree, "test", logging.getLogger("t"))
+        np.testing.assert_array_equal(
+            np.asarray(out["image"]), tree["image"]
+        )
+
+    def test_checksum_detects_any_corruption(self):
+        from fastposecnn_tpu.train.staged import (
+            device_checksums,
+            host_checksums,
+        )
+
+        tree = self._tree()
+        want = host_checksums(tree)
+        # flip one bit in one float leaf
+        bad = jax.tree.map(np.copy, tree)
+        raw = bad["agg"]["xy"].view(np.uint8).reshape(-1)
+        raw[5] ^= 0x10
+        got = np.asarray(
+            jax.device_get(device_checksums(jax.device_put(bad)))
+        ).astype(np.uint64)
+        assert not np.array_equal(got, want)
+        assert int((got != want).sum()) == 1  # localized to that array
+
+    def test_verified_put_raises_after_persistent_mismatch(self, monkeypatch):
+        import logging
+
+        from fastposecnn_tpu.train import staged
+
+        tree = self._tree()
+        corrupt = jax.tree.map(np.copy, tree)
+        corrupt["image"][0, 0, 0, 0] ^= 0xFF
+        monkeypatch.setattr(
+            staged.jax, "device_put", lambda t: jax.tree.map(jnp.asarray, corrupt)
+        )
+        with pytest.raises(RuntimeError, match="corrupted"):
+            staged.verified_device_put(
+                tree, "test", logging.getLogger("t"), attempts=2
+            )
