@@ -276,14 +276,34 @@ def merge_arch_from_any(path, hp: HParams) -> HParams:
 
 
 def load_any_checkpoint(
-    path, state, hp: HParams, step: Optional[int] = None
+    path, state, hp: HParams, step: Optional[int] = None, optimizer=None
 ) -> Tuple[Any, HParams]:
     """Restore weights from an orbax directory, an npz weight snapshot, or
     a reference torch checkpoint file. Snapshot and torch loads replace
-    params + batch_stats and leave the optimizer state fresh.
+    params + batch_stats and re-derive a fresh optimizer state FROM THE
+    LOADED PARAMS when `optimizer` is passed.
+
+    `optimizer` is required for weights-only resumes into training: the
+    caller's `create_train_state` ran `optimizer.init` on the RANDOM
+    template params, and optimizer states that embed a parameter copy
+    (Lookahead slow weights here; also e.g. EMA) would otherwise keep
+    pointing at garbage. Round-5 FULL_c6 incident: resuming the staged
+    trainer from a healthy npz produced epoch-0 val geodesic 71 deg vs
+    the checkpoint's 22.6 — every 5th step Lookahead synced the trained
+    params 50% toward the leftover random-init slow weights, and two
+    full 200-epoch chip chunks were spent relearning from the wreckage.
+    Orbax resume restores the full TrainState (optimizer included), so
+    only the npz/torch paths need this.
     """
+
+    def refresh_opt(st):
+        if optimizer is None:
+            return st
+        return st._replace(opt_state=optimizer.init(st.params))
+
     if is_npz_snapshot(path):
-        return load_npz_snapshot(path, state, hp)
+        state, hp = load_npz_snapshot(path, state, hp)
+        return refresh_opt(state), hp
     if is_torch_checkpoint(path):
         from fastposecnn_tpu.models.weights import (
             load_full_checkpoint,
@@ -299,5 +319,5 @@ def load_any_checkpoint(
         state = state._replace(
             params=new_vars["params"], batch_stats=new_vars["batch_stats"]
         )
-        return state, hp
+        return refresh_opt(state), hp
     return load_checkpoint(path, state, hp, step=step)

@@ -202,7 +202,9 @@ def fit(
     optimizer = optim.make_optimizer(hp)
     state = create_train_state(net, optimizer, jax.random.key(0), hp)
     if resume_from:
-        state, hp = ckpt.load_any_checkpoint(resume_from, state, hp)
+        state, hp = ckpt.load_any_checkpoint(
+            resume_from, state, hp, optimizer=optimizer
+        )
     if mesh is not None:
         state = shard_state_tp(state, mesh)  # == replicate when tp=1
 

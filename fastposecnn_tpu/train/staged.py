@@ -271,7 +271,9 @@ def fit_staged(
     optimizer = optim.make_optimizer(hp)
     state = create_train_state(net, optimizer, jax.random.key(0), hp)
     if resume_from:
-        state, hp = ckpt.load_any_checkpoint(resume_from, state, hp)
+        state, hp = ckpt.load_any_checkpoint(
+            resume_from, state, hp, optimizer=optimizer
+        )
 
     train_step = make_train_step(net, optimizer, hp, pcfg, inv_intrinsics)
     eval_step = make_eval_step(net, hp, pcfg, inv_intrinsics)

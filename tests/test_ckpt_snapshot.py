@@ -84,3 +84,66 @@ class TestNpzSnapshot:
             pass
         else:
             raise AssertionError("architecture mismatch must not load")
+
+
+class TestOptimizerRefreshOnWeightsOnlyResume:
+    """Round-5 FULL_c6 incident: load_any_checkpoint(npz) into a state
+    whose optimizer was initialized from RANDOM template params left the
+    Lookahead slow weights pointing at garbage; every 5th train step then
+    synced the trained params 50% toward random init (epoch-0 val
+    geodesic 71 deg from a 22.6-deg checkpoint, twice — the replay was
+    bit-identical, proving it deterministic). With `optimizer` passed,
+    the optimizer state must be re-derived from the LOADED params."""
+
+    @staticmethod
+    def _lookahead_slows(opt_state):
+        from fastposecnn_tpu.train.optim import LookaheadState
+
+        return [
+            s for s in jax.tree_util.tree_flatten(
+                opt_state, is_leaf=lambda x: isinstance(x, LookaheadState)
+            )[0]
+            if isinstance(s, LookaheadState)
+        ]
+
+    def test_lookahead_slow_weights_match_loaded_params(self, tmp_path):
+        hp, net, opt, state = _tiny_state()
+        path = tmp_path / "snap.npz"
+        # make the saved params distinguishable from any fresh init
+        state = state._replace(
+            params=jax.tree.map(lambda p: p + 1.0, state.params)
+        )
+        ckpt.save_npz_snapshot(path, state, hp)
+
+        fresh = create_train_state(net, opt, jax.random.key(9), hp)
+        restored, _ = ckpt.load_any_checkpoint(
+            path, fresh, hp, optimizer=opt
+        )
+        slows = self._lookahead_slows(restored.opt_state)
+        assert slows, "optimizer chain lost its Lookahead state"
+        for la in slows:
+            for slow, p in zip(
+                jax.tree.leaves(la.slow), jax.tree.leaves(restored.params)
+            ):
+                np.testing.assert_array_equal(
+                    np.asarray(slow), np.asarray(p)
+                )
+
+    def test_without_optimizer_slow_weights_stay_stale(self, tmp_path):
+        # documents WHY the optimizer arg matters (the incident shape)
+        hp, net, opt, state = _tiny_state()
+        path = tmp_path / "snap.npz"
+        state = state._replace(
+            params=jax.tree.map(lambda p: p + 1.0, state.params)
+        )
+        ckpt.save_npz_snapshot(path, state, hp)
+        fresh = create_train_state(net, opt, jax.random.key(9), hp)
+        restored, _ = ckpt.load_any_checkpoint(path, fresh, hp)
+        la = self._lookahead_slows(restored.opt_state)[0]
+        mismatch = any(
+            not np.allclose(np.asarray(s), np.asarray(p), atol=1e-3)
+            for s, p in zip(
+                jax.tree.leaves(la.slow), jax.tree.leaves(restored.params)
+            )
+        )
+        assert mismatch
